@@ -1,0 +1,269 @@
+"""Quantized weight container and round-to-nearest quantizer.
+
+TPU-native analog of the reference's packed-weight storage
+(bestla/bestla/bestla_storage.h:697 ``StorageWeightKBlockNInteger``, :836
+``StorageWeightKBlockNFloat``) and the RTN quantization driver
+(neural_speed/models/model_utils/quant_utils.cpp:269-355 ``bestla_quantize`` →
+``BTLAGemmQuantPackB``).
+
+Layout: a weight ``W`` of shape ``[K, N]`` (in-features x out-features, so the
+matmul is ``x @ W``) is stored as
+
+- unsigned codes bit-plane packed along K: one uint8 array per plane in
+  {4, 2, 1} bits (8-bit weights use a single full-byte plane). Plane ``p``
+  packs ``8 // p`` consecutive-K values per byte. This replaces the
+  reference's bit-serial layout (bestla_wrapper.h:26-258 ``gemv_nbits``).
+- per-group scales ``[K // group_size, N]`` (f32 or bf16),
+- optional per-group uint8 zero-points (asymmetric),
+- optional K-permutation ``perm`` for GPTQ act-order imports
+  (reference: convert_quantized_llama.py g_idx handling).
+
+fp8 kinds store the values directly as ml_dtypes float8 arrays (the MXU/VPU
+understand them natively); nf4/fp4 store 4-bit LUT indices.
+
+All pack/unpack math is plain jnp shift/mask arithmetic so the identical code
+path runs (a) on host for tests, (b) inside XLA for the fallback matmul, and
+(c) inside Pallas kernels.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dtypes import QuantConfig, bit_planes
+
+# ---------------------------------------------------------------------------
+# Bit-plane pack / unpack (jnp; usable inside Pallas kernels)
+# ---------------------------------------------------------------------------
+
+
+def pack_plane(vals: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Pack ``p``-bit values (uint8 [K, N], each < 2**p) into uint8 [K*p//8, N]."""
+    if p == 8:
+        return vals.astype(jnp.uint8)
+    per_byte = 8 // p
+    K, N = vals.shape
+    assert K % per_byte == 0, (K, per_byte)
+    v = vals.reshape(K // per_byte, per_byte, N).astype(jnp.uint8)
+    out = jnp.zeros((K // per_byte, N), jnp.uint8)
+    for i in range(per_byte):
+        out = out | (v[:, i, :] << (p * i))
+    return out
+
+
+def unpack_plane(packed: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_plane`: uint8 [K*p//8, N] → uint8 [K, N] (< 2**p)."""
+    if p == 8:
+        return packed
+    per_byte = 8 // p
+    Kp, N = packed.shape
+    mask = jnp.uint8((1 << p) - 1)
+    parts = [(packed >> (p * i)) & mask for i in range(per_byte)]
+    # [Kp, per_byte, N] -> [K, N] with consecutive-K order.
+    return jnp.stack(parts, axis=1).reshape(Kp * per_byte, N)
+
+
+def plane_shifts(bits: int) -> Tuple[Tuple[int, int], ...]:
+    """((plane_width, left_shift), ...) so code = sum(plane << shift)."""
+    planes = bit_planes(bits)
+    shifts = []
+    rem = bits
+    for p in planes:
+        rem -= p
+        shifts.append((p, rem))
+    return tuple(shifts)
+
+
+def pack_codes(codes: jnp.ndarray, bits: int) -> Tuple[jnp.ndarray, ...]:
+    """Split unsigned codes [K, N] (< 2**bits) into packed plane arrays."""
+    out = []
+    for p, shift in plane_shifts(bits):
+        part = (codes >> shift) & ((1 << p) - 1)
+        out.append(pack_plane(part.astype(jnp.uint8), p))
+    return tuple(out)
+
+
+def unpack_codes(planes: Tuple[jnp.ndarray, ...], bits: int) -> jnp.ndarray:
+    """Rebuild unsigned codes [K, N] from packed plane arrays."""
+    code = None
+    for arr, (p, shift) in zip(planes, plane_shifts(bits)):
+        part = unpack_plane(arr, p).astype(jnp.uint8) << shift
+        code = part if code is None else code | part
+    return code
+
+
+# ---------------------------------------------------------------------------
+# QTensor
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QTensor:
+    """A quantized ``[K, N]`` weight. Pytree: arrays are leaves, cfg static."""
+
+    planes: Tuple[jnp.ndarray, ...]  # packed code planes (or fp8 data)
+    scales: jnp.ndarray              # [G, N]
+    zeros: Optional[jnp.ndarray]     # [G, N] uint8, asym only
+    perm: Optional[jnp.ndarray]      # [K] int32 act-order permutation or None
+    cfg: QuantConfig = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def K(self) -> int:
+        return self.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.shape[1]
+
+    @property
+    def group_size(self) -> int:
+        g = self.cfg.group_size
+        return self.K if g == -1 else g
+
+    def nbytes(self) -> int:
+        tot = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in self.planes)
+        tot += self.scales.size * self.scales.dtype.itemsize
+        if self.zeros is not None:
+            tot += self.zeros.size
+        return tot
+
+
+# ---------------------------------------------------------------------------
+# Quantize (RTN)
+# ---------------------------------------------------------------------------
+
+
+def _group(w: jnp.ndarray, g: int) -> jnp.ndarray:
+    K, N = w.shape
+    assert K % g == 0, f"K={K} not divisible by group_size={g}"
+    return w.reshape(K // g, g, N)
+
+
+def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
+    """Round-to-nearest quantization of ``w`` [K, N] → :class:`QTensor`.
+
+    Mirrors the reference RTN path (quant_utils.cpp:269 ``bestla_quantize``):
+    per-K-group scales, symmetric or asymmetric, int/nf4/fp4/fp8 kinds.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    K, N = w.shape
+    g = K if cfg.group_size == -1 else cfg.group_size
+    wg = _group(w, g)  # [G, g, N]
+    eps = 1e-9
+
+    if cfg.kind == "int":
+        b = cfg.bits
+        if b == 1:
+            # 1-bit: codes {0,1} -> {-1,+1} * scale, scale = mean|w| per group.
+            scales = jnp.mean(jnp.abs(wg), axis=1) + eps
+            codes = (wg >= 0).astype(jnp.uint8).reshape(K, N)
+            zeros = None
+        elif cfg.sym:
+            half = 1 << (b - 1)
+            absmax = jnp.max(jnp.abs(wg), axis=1)  # [G, N]
+            scales = absmax / half + eps
+            q = jnp.clip(jnp.round(wg / scales[:, None, :]), -half, half - 1)
+            codes = (q + half).astype(jnp.uint8).reshape(K, N)
+            zeros = None
+        else:
+            maxq = (1 << b) - 1
+            wmin = jnp.minimum(jnp.min(wg, axis=1), 0.0)
+            wmax = jnp.maximum(jnp.max(wg, axis=1), 0.0)
+            scales = (wmax - wmin) / maxq + eps
+            zp = jnp.clip(jnp.round(-wmin / scales), 0, maxq)
+            q = jnp.clip(jnp.round(wg / scales[:, None, :]) + zp[:, None, :], 0, maxq)
+            codes = q.astype(jnp.uint8).reshape(K, N)
+            zeros = zp.astype(jnp.uint8)
+        planes = pack_codes(codes, b)
+        scales = scales.astype(cfg.scale_jnp)
+        return QTensor(planes, scales, zeros, None, cfg, (K, N))
+
+    if cfg.kind in ("nf4", "fp4"):
+        lut = jnp.asarray(cfg.lut)  # [16]
+        absmax = jnp.max(jnp.abs(wg), axis=1) + eps  # [G, N]
+        normed = wg / absmax[:, None, :]
+        # nearest LUT entry
+        d = jnp.abs(normed[..., None] - lut)  # [G, g, N, 16]
+        codes = jnp.argmin(d, axis=-1).astype(jnp.uint8).reshape(K, N)
+        planes = pack_codes(codes, 4)
+        return QTensor(planes, absmax.astype(cfg.scale_jnp), None, None, cfg, (K, N))
+
+    if cfg.kind.startswith("fp8"):
+        fp8 = jnp.float8_e4m3fn if cfg.kind == "fp8_e4m3" else jnp.float8_e5m2
+        fmax = 448.0 if cfg.kind == "fp8_e4m3" else 57344.0
+        absmax = jnp.max(jnp.abs(wg), axis=1) + eps
+        scales = absmax / fmax
+        data = (wg / scales[:, None, :]).reshape(K, N).astype(fp8)
+        return QTensor((data,), scales.astype(cfg.scale_jnp), None, None, cfg, (K, N))
+
+    raise ValueError(cfg.kind)
+
+
+# ---------------------------------------------------------------------------
+# Dequantize (the test oracle — analog of bestla kernel_ref.h)
+# ---------------------------------------------------------------------------
+
+
+def centered_codes(qt: QTensor) -> jnp.ndarray:
+    """Unsigned codes → signed/centered integer values [K, N] (int8 domain).
+
+    For sym int: code - 2^(b-1); for 1-bit: 2*code - 1; asym handled in
+    :func:`dequantize` (needs per-group zp). nf4/fp4/fp8 not applicable.
+    """
+    assert qt.cfg.kind == "int"
+    codes = unpack_codes(qt.planes, qt.cfg.bits)
+    b = qt.cfg.bits
+    if b == 1:
+        return codes.astype(jnp.int8) * 2 - 1
+    if qt.cfg.sym:
+        return codes.astype(jnp.int8) - (1 << (b - 1))
+    return codes.astype(jnp.int8)  # still biased by zp; caller subtracts
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Full-precision reconstruction [K, N]. Reference oracle for every kernel."""
+    cfg = qt.cfg
+    K, N = qt.shape
+    g = qt.group_size
+
+    if cfg.kind == "int":
+        codes = unpack_codes(qt.planes, cfg.bits)  # uint8 [K, N]
+        if cfg.bits == 1:
+            vals = codes.astype(jnp.float32) * 2.0 - 1.0
+        elif cfg.sym:
+            vals = codes.astype(jnp.float32) - (1 << (cfg.bits - 1))
+        else:
+            zp = jnp.repeat(qt.zeros.astype(jnp.float32), g, axis=0)  # [K, N]
+            vals = codes.astype(jnp.float32) - zp
+        scales = jnp.repeat(qt.scales.astype(jnp.float32), g, axis=0)
+        w = vals * scales
+    elif cfg.kind in ("nf4", "fp4"):
+        codes = unpack_codes(qt.planes, 4)
+        lut = jnp.asarray(cfg.lut)
+        vals = lut[codes.astype(jnp.int32)]
+        scales = jnp.repeat(qt.scales.astype(jnp.float32), g, axis=0)
+        w = vals * scales
+    elif cfg.kind.startswith("fp8"):
+        scales = jnp.repeat(qt.scales.astype(jnp.float32), g, axis=0)
+        w = qt.planes[0].astype(jnp.float32) * scales
+    else:
+        raise ValueError(cfg.kind)
+
+    if qt.perm is not None:
+        # stored rows are in permuted (act-order) K order; undo it.
+        inv = jnp.zeros_like(qt.perm).at[qt.perm].set(jnp.arange(K))
+        w = w[inv]
+    return w.astype(dtype)
+
+
+def matmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:
+    """Oracle matmul: ``x @ dequantize(qt)`` in f32. [*, K] @ [K, N] → [*, N]."""
+    w = dequantize(qt, jnp.float32)
+    out = jnp.asarray(x, jnp.float32) @ w
+    return out.astype(dtype or x.dtype)
