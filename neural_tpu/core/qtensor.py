@@ -41,29 +41,48 @@ from .dtypes import QuantConfig, bit_planes
 # ---------------------------------------------------------------------------
 
 
-def pack_plane(vals: jnp.ndarray, p: int) -> jnp.ndarray:
-    """Pack ``p``-bit values (uint8 [K, N], each < 2**p) into uint8 [K*p//8, N]."""
+def pack_plane(vals: jnp.ndarray, p: int, chunk: int) -> jnp.ndarray:
+    """Pack ``p``-bit values (uint8 [K, N], each < 2**p) into uint8 [K*p//8, N].
+
+    The packing is *chunk-local*: within each contiguous run of ``chunk``
+    K-values, the run is split into ``8//p`` sub-chunks and sub-chunk ``c``
+    is stored at bit offset ``p*c`` of the byte. Unpacking is therefore a
+    shift+mask followed by a pure sublane *concatenation* (no element
+    interleave), which Mosaic lowers without cross-lane shuffles. ``chunk``
+    is normally the quantization group size, so any kernel K-tile that is a
+    multiple of the group size unpacks correctly in isolation.
+    """
     if p == 8:
         return vals.astype(jnp.uint8)
     per_byte = 8 // p
     K, N = vals.shape
-    assert K % per_byte == 0, (K, per_byte)
-    v = vals.reshape(K // per_byte, per_byte, N).astype(jnp.uint8)
-    out = jnp.zeros((K // per_byte, N), jnp.uint8)
-    for i in range(per_byte):
-        out = out | (v[:, i, :] << (p * i))
-    return out
+    assert K % chunk == 0 and chunk % per_byte == 0, (K, chunk, per_byte)
+    sub = chunk // per_byte
+    # [G, per_byte, sub, N]: value k = g*chunk + c*sub + r lives in byte
+    # row g*sub + r at bit offset p*c.
+    v = vals.reshape(K // chunk, per_byte, sub, N).astype(jnp.int32)
+    out = jnp.zeros((K // chunk, sub, N), jnp.int32)
+    for c in range(per_byte):
+        out = out | (v[:, c] << (p * c))
+    return out.reshape(K // per_byte, N).astype(jnp.uint8)
 
 
-def unpack_plane(packed: jnp.ndarray, p: int) -> jnp.ndarray:
-    """Inverse of :func:`pack_plane`: uint8 [K*p//8, N] → uint8 [K, N] (< 2**p)."""
+def unpack_plane(packed: jnp.ndarray, p: int, chunk: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_plane`: uint8 [K*p//8, N] → int32 [K, N] (< 2**p).
+
+    Shift/mask arithmetic runs in int32 (Mosaic has no sub-word vector
+    shifts) and the recombination is a sublane-dim concat, usable as-is
+    inside Pallas kernels.
+    """
     if p == 8:
-        return packed
+        return packed.astype(jnp.int32)
     per_byte = 8 // p
+    sub = chunk // per_byte
     Kp, N = packed.shape
-    mask = jnp.uint8((1 << p) - 1)
-    parts = [(packed >> (p * i)) & mask for i in range(per_byte)]
-    # [Kp, per_byte, N] -> [K, N] with consecutive-K order.
+    b = packed.astype(jnp.int32).reshape(Kp // sub, sub, N)
+    mask = (1 << p) - 1
+    parts = [(b >> (p * c)) & mask for c in range(per_byte)]
+    # [G, per_byte, sub, N] -> [K, N]; flatten order matches pack_plane.
     return jnp.stack(parts, axis=1).reshape(Kp * per_byte, N)
 
 
@@ -78,22 +97,31 @@ def plane_shifts(bits: int) -> Tuple[Tuple[int, int], ...]:
     return tuple(shifts)
 
 
-def pack_codes(codes: jnp.ndarray, bits: int) -> Tuple[jnp.ndarray, ...]:
+def pack_codes(codes: jnp.ndarray, bits: int, chunk: int) -> Tuple[jnp.ndarray, ...]:
     """Split unsigned codes [K, N] (< 2**bits) into packed plane arrays."""
+    codes = codes.astype(jnp.int32)
     out = []
     for p, shift in plane_shifts(bits):
         part = (codes >> shift) & ((1 << p) - 1)
-        out.append(pack_plane(part.astype(jnp.uint8), p))
+        out.append(pack_plane(part, p, chunk))
     return tuple(out)
 
 
-def unpack_codes(planes: Tuple[jnp.ndarray, ...], bits: int) -> jnp.ndarray:
-    """Rebuild unsigned codes [K, N] from packed plane arrays."""
+def unpack_codes(planes: Tuple[jnp.ndarray, ...], bits: int, chunk: int) -> jnp.ndarray:
+    """Rebuild unsigned codes int32 [K, N] from packed plane arrays."""
     code = None
     for arr, (p, shift) in zip(planes, plane_shifts(bits)):
-        part = unpack_plane(arr, p).astype(jnp.uint8) << shift
+        part = unpack_plane(arr, p, chunk) << shift
         code = part if code is None else code | part
     return code
+
+
+def pack_chunk(cfg: QuantConfig, K: int) -> int:
+    """Chunk-locality of the bit-plane packing: the scale group size, or a
+    fixed 32 for per-channel quantization (so K-tiling stays possible)."""
+    if cfg.group_size == -1:
+        return 32 if K % 32 == 0 else K
+    return cfg.group_size
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +208,7 @@ def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
             q = jnp.clip(jnp.round(wg / scales[:, None, :]) + zp[:, None, :], 0, maxq)
             codes = q.astype(jnp.uint8).reshape(K, N)
             zeros = zp.astype(jnp.uint8)
-        planes = pack_codes(codes, b)
+        planes = pack_codes(codes, b, pack_chunk(cfg, K))
         scales = scales.astype(cfg.scale_jnp)
         return QTensor(planes, scales, zeros, None, cfg, (K, N))
 
@@ -191,7 +219,7 @@ def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
         # nearest LUT entry
         d = jnp.abs(normed[..., None] - lut)  # [G, g, N, 16]
         codes = jnp.argmin(d, axis=-1).astype(jnp.uint8).reshape(K, N)
-        planes = pack_codes(codes, 4)
+        planes = pack_codes(codes, 4, pack_chunk(cfg, K))
         return QTensor(planes, absmax.astype(cfg.scale_jnp), None, None, cfg, (K, N))
 
     if cfg.kind.startswith("fp8"):
@@ -217,7 +245,7 @@ def centered_codes(qt: QTensor) -> jnp.ndarray:
     :func:`dequantize` (needs per-group zp). nf4/fp4/fp8 not applicable.
     """
     assert qt.cfg.kind == "int"
-    codes = unpack_codes(qt.planes, qt.cfg.bits)
+    codes = unpack_codes(qt.planes, qt.cfg.bits, pack_chunk(qt.cfg, qt.K))
     b = qt.cfg.bits
     if b == 1:
         return codes.astype(jnp.int8) * 2 - 1
@@ -233,7 +261,7 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     g = qt.group_size
 
     if cfg.kind == "int":
-        codes = unpack_codes(qt.planes, cfg.bits)  # uint8 [K, N]
+        codes = unpack_codes(qt.planes, cfg.bits, pack_chunk(cfg, K))  # int32 [K, N]
         if cfg.bits == 1:
             vals = codes.astype(jnp.float32) * 2.0 - 1.0
         elif cfg.sym:
@@ -244,7 +272,7 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
         scales = jnp.repeat(qt.scales.astype(jnp.float32), g, axis=0)
         w = vals * scales
     elif cfg.kind in ("nf4", "fp4"):
-        codes = unpack_codes(qt.planes, 4)
+        codes = unpack_codes(qt.planes, 4, pack_chunk(cfg, K))
         lut = jnp.asarray(cfg.lut)
         vals = lut[codes.astype(jnp.int32)]
         scales = jnp.repeat(qt.scales.astype(jnp.float32), g, axis=0)

@@ -1,0 +1,247 @@
+"""Fused dequantize + matmul Pallas kernels.
+
+TPU-native replacement for the reference's BesTLA weight-only GEMM stack
+(bestla/bestla/bestla_wrapper.h:263 ``LauncherBase`` / :547
+``LauncherIntKBlock``: PrologueB unpack/dequant + JIT GemmCore + Epilogue,
+bestla_gemm.h kblock variants with in-kernel per-group dequant). Here a single
+Pallas kernel unpacks bit-plane-packed codes, applies per-group scales /
+zero-points (or an nf4/fp4 LUT, or native fp8 casts), and feeds bf16 tiles
+straight into the MXU, accumulating in f32.
+
+The weight never materializes in HBM at full precision: dequantization
+happens on the VMEM tile inside the kernel, so HBM traffic is the quantized
+bytes — the same reason BesTLA beats fp32 GEMM on memory-bound decode.
+
+Layout recap (see neural_tpu.core.qtensor): W is [K, N]; codes are packed
+along K in planes of 4/2/1 bits (8/p values per byte); scales [K/g, N].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.dtypes import QuantConfig
+from ..core.qtensor import QTensor, plane_shifts, unpack_codes, pack_chunk
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _lut_select(codes: jnp.ndarray, lut: np.ndarray) -> jnp.ndarray:
+    """16-entry LUT lookup as a binary select tree (VPU-friendly, no gather)."""
+    c = codes.astype(jnp.int32)
+    cur = [jnp.where((c & 1) == 0, jnp.float32(lut[2 * i]), jnp.float32(lut[2 * i + 1]))
+           for i in range(8)]
+    bit = 2
+    while len(cur) > 1:
+        cur = [jnp.where((c & bit) == 0, cur[2 * i], cur[2 * i + 1])
+               for i in range(len(cur) // 2)]
+        bit <<= 1
+    return cur[0]
+
+
+def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
+                  group_size: int, chunk: int,
+                  out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantize one [TK, TN] weight tile inside the kernel.
+
+    All integer arithmetic in int32 (Mosaic has no sub-word vector shifts);
+    unpacking is the chunk-local scheme from qtensor, shared with the oracle.
+    """
+    if cfg.kind.startswith("fp8"):
+        vals = plane_tiles[0].astype(jnp.float32)
+    else:
+        codes = unpack_codes(tuple(plane_tiles), cfg.bits, chunk)  # int32
+        if cfg.kind in ("nf4", "fp4"):
+            vals = _lut_select(codes, cfg.lut)
+        elif cfg.bits == 1:
+            vals = codes.astype(jnp.float32) * 2.0 - 1.0
+        elif cfg.sym:
+            vals = (codes - (1 << (cfg.bits - 1))).astype(jnp.float32)
+        else:
+            vals = codes.astype(jnp.float32)  # zp subtracted below per group
+
+    TK, TN = vals.shape
+    G = TK // group_size
+    vg = vals.reshape(G, group_size, TN)
+    if cfg.kind == "int" and not cfg.sym and cfg.bits != 1:
+        # uint8 -> i32 -> f32: Mosaic has no direct u8->f32 cast.
+        zf = zeros_tile.astype(jnp.int32).astype(jnp.float32)
+        vg = vg - zf[:, None, :]
+    w = vg * scales_tile.astype(jnp.float32)[:, None, :]
+    return w.reshape(TK, TN).astype(out_dtype)
+
+
+def _qmm_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
+                n_planes: int, has_zeros: bool, groups_per_step: int,
+                out_dtype):
+    """Grid (M/TM, N/TN, K/TK), K innermost; accumulate into f32 scratch.
+
+    Ref order: x, planes..., scales, [zeros], out, acc_scratch.
+    Scales/zeros arrive as the full-K stripe (G may be < 8 rows per step,
+    below the sublane tile, so we can't block them); slice per k-step here.
+    """
+    x_ref = refs[0]
+    plane_tiles = [refs[1 + i][...] for i in range(n_planes)]
+    G_total = refs[1 + n_planes].shape[0]
+    if groups_per_step == G_total:
+        sl = slice(None)
+    else:
+        # tile selection guarantees groups_per_step % 8 == 0 here, so the
+        # dynamic row offset is provably sublane-aligned.
+        kidx = pl.program_id(2)
+        gstart = pl.multiple_of(kidx * groups_per_step, groups_per_step)
+        sl = pl.ds(gstart, groups_per_step)
+    scales_tile = refs[1 + n_planes][sl, :]
+    idx = 2 + n_planes
+    zeros_tile = refs[idx][sl, :] if has_zeros else None
+    if has_zeros:
+        idx += 1
+    out_ref, acc_ref = refs[idx], refs[idx + 1]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg, group_size,
+                      chunk)
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "tk", "out_dtype", "interpret"))
+def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret):
+    M, K = x.shape
+    N = qt.N
+    cfg = qt.cfg
+    g = qt.group_size
+    grid = (M // tm, N // tn, K // tk)
+
+    in_specs = [pl.BlockSpec((tm, tk), lambda i, j, k: (i, k))]
+    if cfg.kind.startswith("fp8"):
+        pack_rows = [tk]
+    else:
+        pack_rows = [tk * p // 8 for p, _ in plane_shifts(cfg.bits)]
+    for rows in pack_rows:
+        in_specs.append(pl.BlockSpec((rows, tn), lambda i, j, k: (k, j)))
+    # scales/zeros: full-K stripe (G rows may be < sublane tile per k-step).
+    G = qt.scales.shape[0]
+    in_specs.append(pl.BlockSpec((G, tn), lambda i, j, k: (0, j)))
+    operands = [x, *qt.planes, qt.scales]
+    has_zeros = qt.zeros is not None
+    if has_zeros:
+        in_specs.append(pl.BlockSpec((G, tn), lambda i, j, k: (0, j)))
+        operands.append(qt.zeros)
+
+    kernel = functools.partial(
+        _qmm_kernel, cfg=cfg, group_size=g, chunk=pack_chunk(cfg, K),
+        n_planes=len(qt.planes), has_zeros=has_zeros,
+        groups_per_step=tk // g, out_dtype=out_dtype)
+
+    bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
+                      + M * N * np.dtype(out_dtype).itemsize)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K, bytes_accessed=bytes_accessed,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
+def qmatmul_xla(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
+    """XLA fallback: dequantize then matmul in bf16 (XLA fuses the dequant
+    into the matmul operand read where it can). Used on CPU and for shapes
+    the Pallas kernel can't tile."""
+    from ..core.qtensor import dequantize
+
+    out_dtype = out_dtype or x.dtype
+    w = dequantize(qt, jnp.bfloat16)
+    out = jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _pick_tiles(M, K, N, g, bits, kind):
+    """Choose (tm, tn, tk); None if untileable. M is padded up to tm by the
+    caller. Large tm for prefill so each weight tile is dequantized as few
+    times as possible; small tm for decode (bandwidth-bound)."""
+    tm = 16
+    while tm * 2 <= 512 and M > tm:
+        tm *= 2
+    tn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else None)
+    if tn is None:
+        return None
+    # K-tile constraints:
+    #  - multiple of the group size g (scale groups stay tile-local)
+    #  - every packed plane's row count (tk*p/8) 8-sublane aligned
+    #    → tk % (64/p_min) == 0
+    #  - the per-step scales row-slice must be 8-sublane aligned
+    #    → tk/g % 8 == 0, unless a single K-step covers all groups (tk == K)
+    from ..core.dtypes import bit_planes
+    min_plane = 8 if kind.startswith("fp8") else min(bit_planes(bits))
+    align = 64 // min_plane
+    tk = g * 8
+    while tk * 2 <= 1024 and K % (tk * 2) == 0:
+        tk *= 2
+    if K % tk or tk % align:
+        tk = K  # single K-step: whole scales stripe read, no slicing
+        if tk % align or tk % g:
+            return None
+    return tm, tn, tk
+
+
+def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
+            force: Optional[str] = None, interpret: bool = False) -> jnp.ndarray:
+    """``x @ W_q`` with on-the-fly dequantization.
+
+    x: [..., K]; returns [..., N]. Uses the Pallas fused kernel on TPU,
+    XLA fallback elsewhere (reference dispatch analog:
+    neural_speed/core/layers/ne_bestla.cpp:205 ``bestla_support``).
+    """
+    out_dtype = out_dtype or x.dtype
+    *lead, K = x.shape
+    assert K == qt.K, (K, qt.shape)
+    x2 = x.reshape(-1, K)
+    if qt.perm is not None:
+        x2 = jnp.take(x2, qt.perm, axis=1)
+    M = x2.shape[0]
+
+    backend = jax.default_backend()
+    use_pallas = force != "xla" and (backend == "tpu" or interpret
+                                     or force == "pallas")
+    tiles = (_pick_tiles(M, K, qt.N, qt.group_size, qt.cfg.bits, qt.cfg.kind)
+             if use_pallas else None)
+    if tiles is not None:
+        tm = tiles[0]
+        Mp = _round_up(max(M, tm), tm)
+        xp = jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+        out = _qmatmul_pallas(xp.astype(jnp.bfloat16), qt, *tiles,
+                              out_dtype=out_dtype, interpret=interpret)
+        if Mp != M:
+            out = out[:M]
+        return out.reshape(*lead, qt.N)
+    out = qmatmul_xla(x2, qt, out_dtype)
+    return out.reshape(*lead, qt.N)

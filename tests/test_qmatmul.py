@@ -1,0 +1,93 @@
+"""Pallas fused dequant-matmul vs the jnp oracle.
+
+Models the reference's GEMM UT strategy (bestla/bestla/ut/bestla_gemm.cpp:
+every Launcher config vs the scalar reference). Runs the kernel in
+interpreter mode on CPU; the same kernel compiles for TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_tpu.core import PRESETS, QuantConfig, quantize, matmul_ref
+from neural_tpu.ops import qmatmul
+
+
+def mk(k, shape, scale=0.1):
+    return jax.random.normal(jax.random.PRNGKey(k), shape, jnp.float32) * scale
+
+
+def check(preset_or_cfg, M=32, K=256, N=128, atol=2e-2):
+    cfg = PRESETS[preset_or_cfg] if isinstance(preset_or_cfg, str) else preset_or_cfg
+    w = mk(0, (K, N))
+    x = mk(1, (M, K), 1.0)
+    qt = quantize(w, cfg)
+    ref = np.asarray(matmul_ref(x, qt, jnp.float32))
+    out = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, interpret=True))
+    assert out.shape == ref.shape
+    # bf16 x/w rounding inside the kernel vs f32 oracle
+    np.testing.assert_allclose(out, ref, atol=atol + 0.02 * np.abs(ref).max(), rtol=0.05)
+
+
+@pytest.mark.parametrize("preset", [
+    "q4_0", "q4_1", "q8_0", "int8", "int5", "int3", "int2", "int1",
+    "nf4", "fp4", "fp8", "fp8_e5m2", "q4_j_g128",
+])
+def test_presets_match_oracle(preset):
+    check(preset)
+
+
+@pytest.mark.parametrize("bits", [6, 7])
+def test_odd_bits(bits):
+    check(QuantConfig(bits=bits, group_size=64))
+
+
+def test_per_channel_groups():
+    check(QuantConfig(bits=8, group_size=-1))
+
+
+def test_decode_m1():
+    """M=1 GEMV decode path (padded to tile internally)."""
+    check("q4_0", M=1)
+
+
+def test_odd_m():
+    check("q4_0", M=5)
+
+
+def test_big_n_tile():
+    check("q4_0", K=512, N=512)
+
+
+def test_leading_dims():
+    cfg = PRESETS["q4_0"]
+    w = mk(0, (256, 128))
+    x = mk(1, (2, 3, 256), 1.0)
+    qt = quantize(w, cfg)
+    out = qmatmul(x, qt, interpret=True)
+    assert out.shape == (2, 3, 128)
+    ref = matmul_ref(x.reshape(6, 256), qt)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(6, 128), np.asarray(ref), atol=0.05, rtol=0.05)
+
+
+def test_act_order_perm():
+    from neural_tpu.core.qtensor import QTensor
+    w = mk(0, (256, 128))
+    x = mk(1, (4, 256), 1.0)
+    perm = jnp.asarray(np.random.default_rng(3).permutation(256))
+    qt = quantize(w[perm], PRESETS["q4_0"])
+    qt = QTensor(qt.planes, qt.scales, qt.zeros, perm, qt.cfg, qt.shape)
+    out = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, interpret=True))
+    ref = np.asarray(matmul_ref(x, qt, jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_xla_fallback_matches():
+    cfg = PRESETS["q4_0"]
+    w = mk(0, (256, 128))
+    x = mk(1, (8, 256), 1.0)
+    qt = quantize(w, cfg)
+    a = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, force="xla"))
+    b = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)

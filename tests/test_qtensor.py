@@ -21,12 +21,14 @@ def rand(k, shape, scale=1.0):
 
 
 @pytest.mark.parametrize("p", [1, 2, 4, 8])
-def test_pack_plane_roundtrip(p):
+@pytest.mark.parametrize("chunk", [16, 32, 64])
+def test_pack_plane_roundtrip(p, chunk):
     rng = np.random.default_rng(0)
     vals = rng.integers(0, 1 << p, size=(64, 16), dtype=np.uint8)
-    packed = pack_plane(jnp.asarray(vals), p)
+    packed = pack_plane(jnp.asarray(vals), p, chunk)
     assert packed.shape == (64 * p // 8, 16)
-    out = np.asarray(unpack_plane(packed, p))
+    assert packed.dtype == jnp.uint8
+    out = np.asarray(unpack_plane(packed, p, chunk))
     np.testing.assert_array_equal(out, vals)
 
 
@@ -34,9 +36,9 @@ def test_pack_plane_roundtrip(p):
 def test_pack_codes_roundtrip(bits):
     rng = np.random.default_rng(bits)
     codes = rng.integers(0, 1 << bits, size=(64, 24), dtype=np.uint8)
-    planes = pack_codes(jnp.asarray(codes), bits)
+    planes = pack_codes(jnp.asarray(codes), bits, 32)
     assert len(planes) == len(bit_planes(bits))
-    out = np.asarray(unpack_codes(planes, bits))
+    out = np.asarray(unpack_codes(planes, bits, 32))
     np.testing.assert_array_equal(out, codes)
 
 
