@@ -1,0 +1,168 @@
+"""HuggingFace checkpoint → neural-tpu params.
+
+Analog of the reference converter layer (neural_speed/convert/convert_llama.py
+and friends: HF safetensors → NE/GGUF tensor map) — but in-process: a torch
+``*ForCausalLM`` (CPU) or a raw state-dict is mapped straight onto the unified
+decoder's param pytree, optionally quantizing linear weights on the fly
+(reference one-shot path: Model.init → convert + quant, __init__.py:142-214).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import QuantConfig, PRESETS
+from ..core.qtensor import quantize
+from ..models import llama as llama_mod
+from ..models.config import ModelConfig
+from ..ops.rope import rope_freqs, alibi_slopes
+
+# arch (HF model_type) → family module providing config_from_hf / maps
+ARCH_MODULES: Dict[str, Any] = {}
+
+
+def register_arch(names, module):
+    for n in names:
+        ARCH_MODULES[n] = module
+
+
+register_arch(["llama", "mistral", "mixtral", "solar"], llama_mod)
+
+
+def resolve_quant(quant: Union[None, str, QuantConfig]) -> Optional[QuantConfig]:
+    if quant is None or isinstance(quant, QuantConfig):
+        return quant
+    return PRESETS[quant]
+
+
+def _get(sd, name, transpose):
+    w = sd[name]
+    w = np.asarray(w, np.float32)
+    return w.T if transpose else w
+
+
+def _stack_quantize(ws, qcfg: Optional[QuantConfig], dtype):
+    """[L(,E),K,N] numpy → stacked QTensor pytree or plain jnp array."""
+    if qcfg is None:
+        return jnp.asarray(np.stack(ws), dtype)
+    qts = [quantize(jnp.asarray(w), qcfg) for w in ws]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+
+
+def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
+                 quant: Union[None, str, QuantConfig] = None,
+                 dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Assemble the param pytree: stacked layers + top-level tensors + rope
+    tables. ``quant`` applies to the tensors the family lists in
+    QUANT_TENSORS (reference per-layer quant config analog)."""
+    qcfg = resolve_quant(quant)
+    quant_names = set(getattr(mod, "QUANT_TENSORS", ()))
+
+    # ---- per-layer stacked params
+    layer_maps = [mod.hf_layer_map(i, cfg) for i in range(cfg.n_layers)]
+    layers: Dict[str, Any] = {}
+    names = layer_maps[0].keys()
+    # split plain names from expert names ("experts.{e}.{sub}")
+    plain = [n for n in names if not n.startswith("experts.")]
+    expert_subs = sorted({n.split(".", 2)[2] for n in names
+                          if n.startswith("experts.")})
+    for n in plain:
+        ws = [_get(sd, *layer_maps[i][n]) for i in range(cfg.n_layers)]
+        if n in quant_names and qcfg is not None and ws[0].ndim == 2:
+            layers[n] = _stack_quantize(ws, qcfg, dtype)
+        else:
+            layers[n] = jnp.asarray(np.stack(ws), dtype)
+    if expert_subs:
+        experts: Dict[str, Any] = {}
+        for sub in expert_subs:
+            ws = [[_get(sd, *layer_maps[i][f"experts.{e}.{sub}"])
+                   for e in range(cfg.n_experts)] for i in range(cfg.n_layers)]
+            if sub in quant_names and qcfg is not None:
+                per_layer = [_stack_quantize(row, qcfg, dtype) for row in ws]
+                experts[sub] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *per_layer)
+            else:
+                experts[sub] = jnp.asarray(np.stack(ws), dtype)
+        layers["experts"] = experts
+
+    params: Dict[str, Any] = {"layers": layers}
+
+    # ---- top-level params
+    for n, (hf_name, tr) in mod.hf_top_map(cfg).items():
+        w = _get(sd, hf_name, tr)
+        if n == "lm_head" and qcfg is not None and "lm_head" in quant_names:
+            params[n] = quantize(jnp.asarray(w), qcfg)
+        elif n in ("embed", "pos_embed"):
+            params[n] = jnp.asarray(w, dtype)
+        else:
+            params[n] = jnp.asarray(w, dtype if w.ndim > 1 else jnp.float32)
+
+    _add_aux(params, cfg)
+    return params
+
+
+def _add_aux(params: Dict[str, Any], cfg: ModelConfig):
+    if cfg.rope_style != "none":
+        params["rope_inv_freqs"] = jnp.asarray(
+            rope_freqs(cfg.head_dim, cfg.rope_dim, cfg.rope_theta,
+                       cfg.rope_scaling_dict))
+    if cfg.use_alibi:
+        params["alibi_slopes"] = jnp.asarray(alibi_slopes(cfg.n_heads))
+
+
+def from_hf_model(model, quant: Union[None, str, QuantConfig] = None,
+                  dtype=jnp.bfloat16):
+    """torch *ForCausalLM (CPU) → (params, cfg)."""
+    hf_cfg = model.config
+    mod = ARCH_MODULES[hf_cfg.model_type]
+    cfg = mod.config_from_hf(hf_cfg)
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    return build_params(sd, cfg, mod, quant, dtype), cfg
+
+
+def init_random(cfg: ModelConfig, seed: int = 0,
+                quant: Union[None, str, QuantConfig] = None,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random params for tests/benchmarks without a checkpoint."""
+    mod = ARCH_MODULES.get(cfg.arch, llama_mod)
+    rng = np.random.default_rng(seed)
+    D, I_, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+
+    def r(*shape, s=0.02):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(cfg.n_layers):
+        for ours, (hf, tr) in mod.hf_layer_map(i, cfg).items():
+            shape = _shape_for(ours.split(".")[-1], cfg)
+            w = r(*shape) if len(shape) > 1 else np.ones(shape, np.float32)
+            sd[hf] = w.T if tr else w
+    for ours, (hf, tr) in mod.hf_top_map(cfg).items():
+        if ours == "embed":
+            sd[hf] = r(V, D)
+        elif ours == "lm_head":
+            sd[hf] = r(D, V).T if tr else r(D, V)
+        elif ours == "pos_embed":
+            sd[hf] = r(cfg.max_seq_len + cfg.pos_offset, D)
+        else:
+            sd[hf] = np.ones(D, np.float32)
+    return build_params(sd, cfg, mod, quant, dtype)
+
+
+def _shape_for(name: str, cfg: ModelConfig):
+    D, I_ = cfg.hidden_size, cfg.intermediate_size
+    table = {
+        "wq": (D, cfg.q_dim), "wk": (D, cfg.kv_dim), "wv": (D, cfg.kv_dim),
+        "wo": (cfg.q_dim, D),
+        "w_gate": (D, I_), "w_up": (D, I_), "w_down": (I_, D),
+        "router": (D, cfg.n_experts),
+        "attn_norm_w": (D,), "ffn_norm_w": (D,), "post_attn_norm_w": (D,),
+        "attn_norm_b": (D,), "ffn_norm_b": (D,),
+        "bq": (cfg.q_dim,), "bk": (cfg.kv_dim,), "bv": (cfg.kv_dim,),
+        "bo": (D,), "b_gate": (I_,), "b_up": (I_,), "b_down": (D,),
+        "q_norm_w": (cfg.head_dim,), "k_norm_w": (cfg.head_dim,),
+    }
+    return table[name]

@@ -1,0 +1,93 @@
+"""Unified decoder-transformer configuration.
+
+The reference implements one C++ graph per architecture
+(neural_speed/models/<arch>/<arch>.cpp, 19 archs in model_types.h:71-92).
+TPU-native design inverts this: ONE functional decoder graph
+(models/transformer.py) parameterized by this config, with per-family
+modules only mapping HF checkpoints/configs onto it. The knobs below cover
+the reference zoo: llama/llama2/llama3, mistral, mixtral (MoE), solar,
+gptj, gptneox, mpt (alibi), falcon (MQA), starcoder, bloom (alibi), opt
+(learned pos), baichuan, chatglm2/3, qwen, phi-2/phi-3 (longrope), gemma,
+stablelm, grok (MoE).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32          # < n_heads → GQA; 1 → MQA (falcon)
+    head_dim: int = 128
+    intermediate_size: int = 11008
+
+    # norms
+    norm_type: str = "rmsnorm"    # "layernorm"
+    norm_eps: float = 1e-5
+    norm_offset: float = 0.0      # 1.0 → gemma (1+w)
+    post_attn_norm: bool = False  # extra norm on attn output (gemma2-style)
+
+    # mlp
+    act: str = "silu"             # "gelu", "gelu_tanh", "relu"
+    mlp_gated: bool = True        # llama w1/w3 gate ⊗ up; False → 2-layer MLP
+    mlp_bias: bool = False
+
+    # attention
+    qkv_bias: bool = False        # qwen, phi, gptj-style archs with bias
+    o_bias: bool = False
+    attn_scale: Optional[float] = None  # default 1/sqrt(head_dim)
+    use_alibi: bool = False       # mpt, bloom
+    attn_softcap: float = 0.0     # grok/gemma2 tanh soft capping
+    qk_norm: bool = False         # per-head q/k rmsnorm (some qwen2/stablelm)
+
+    # positions
+    rope_style: str = "neox"      # "gptj" interleaved, "none"
+    rope_theta: float = 10000.0
+    rope_dim: Optional[int] = None   # partial rotary (gptj/gptneox/phi/stablelm)
+    rope_scaling: Optional[tuple] = None  # frozen dict items for hashability
+    learned_pos_emb: bool = False  # opt, bloom? (bloom uses alibi), starcoder
+    pos_offset: int = 0            # opt: +2
+
+    # structure
+    parallel_residual: bool = False  # gptj/gptneox/phi: attn+mlp share input
+    tie_word_embeddings: bool = False
+    embed_scale: float = 1.0      # gemma: sqrt(hidden)
+    logit_softcap: float = 0.0
+    final_norm: bool = True
+
+    # MoE (mixtral, grok)
+    n_experts: int = 0
+    n_experts_active: int = 0
+    moe_norm_topk: bool = True    # renormalize top-k router probs
+
+    # generation defaults
+    max_seq_len: int = 4096
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+
+    def __post_init__(self):
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(self, "rope_scaling",
+                               tuple(sorted(self.rope_scaling.items())))
+
+    @property
+    def rope_scaling_dict(self) -> Optional[Dict[str, Any]]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @property
+    def is_moe(self) -> bool:
+        return self.n_experts > 0

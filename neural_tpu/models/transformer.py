@@ -1,0 +1,242 @@
+"""The unified functional decoder graph.
+
+One graph for every decoder-only family in the reference zoo (the reference
+builds one C++ NE graph per arch — e.g. neural_speed/models/llama/llama.cpp:53
+``llama_model_eval_internal``; here the equivalent of that whole directory
+family is this module + a per-family config mapping).
+
+Design (TPU-first):
+- functional: ``forward(params, tokens, start, cache, cfg)`` — pure, jittable,
+  shardable with NamedSharding on the params/cache pytrees.
+- layers are STACKED along a leading L axis and executed with ``lax.scan``
+  (compile time O(1) in depth; XLA pipelines the per-layer collectives).
+- KV cache: preallocated [L, B, S, H_kv, Dh] ring written with
+  per-batch dynamic offsets (static shapes under jit; the reference's
+  kv_cache_init analog is runtime/kvcache.py).
+- every linear weight may be a QTensor (→ Pallas fused dequant matmul) or a
+  plain array (→ MXU bf16 matmul), decided per-tensor at load/quantize time
+  exactly like the reference's per-layer quant config
+  (quant_config.h:180 ``quant_layer_base``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.qtensor import QTensor
+from ..ops.qmatmul import qmatmul
+from ..ops.norms import rms_norm, layer_norm
+from ..ops.rope import rope_freqs, rope_cos_sin, apply_rope, alibi_slopes
+from .config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+def linear(x: jnp.ndarray, w, b=None, out_dtype=None) -> jnp.ndarray:
+    """Dispatch: QTensor → fused dequant matmul; array → plain MXU matmul."""
+    out_dtype = out_dtype or x.dtype
+    if isinstance(w, QTensor):
+        y = qmatmul(x, w, out_dtype=out_dtype)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(out_dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _norm(x, w, b, cfg: ModelConfig):
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, w, cfg.norm_eps, cfg.norm_offset)
+    return layer_norm(x, w, b, cfg.norm_eps)
+
+
+def _act(x, kind: str):
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(kind)
+
+
+def _mlp(x, lp: Params, cfg: ModelConfig):
+    if cfg.is_moe:
+        return _moe_mlp(x, lp, cfg)
+    if cfg.mlp_gated:
+        g = linear(x, lp["w_gate"], lp.get("b_gate"))
+        u = linear(x, lp["w_up"], lp.get("b_up"))
+        h = _act(g, cfg.act) * u
+    else:
+        h = _act(linear(x, lp["w_up"], lp.get("b_up")), cfg.act)
+    return linear(h, lp["w_down"], lp.get("b_down"))
+
+
+def _moe_mlp(x, lp: Params, cfg: ModelConfig):
+    """Mixtral/Grok-style top-k routed experts.
+
+    Reference computes this with gathered per-token expert matmuls
+    (ne_mul_mat_id / ne_mul_id_ffn_silu, llama.cpp:622-693). TPU-native
+    first cut: run every expert on all tokens and mask by router weight —
+    MXU-friendly, static shapes; a megablocks-style grouped matmul is the
+    planned optimization for large E.
+    """
+    B, T, D = x.shape
+    logits = linear(x, lp["router"]).astype(jnp.float32)      # [B, T, E]
+    top_w, top_idx = jax.lax.top_k(logits, cfg.n_experts_active)
+    if cfg.moe_norm_topk:
+        top_w = jax.nn.softmax(top_w, axis=-1)
+    else:
+        top_w = jnp.take_along_axis(jax.nn.softmax(logits, axis=-1),
+                                    top_idx, axis=-1)
+    # dense expert mixture weights [B, T, E]
+    mix = jnp.zeros_like(logits).at[
+        jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_idx
+    ].set(top_w)
+
+    def one_expert(e_params):
+        ecfg = dataclasses.replace(cfg, n_experts=0)
+        return _mlp(x, e_params, ecfg)                        # [B, T, D]
+
+    outs = jax.lax.map(one_expert, lp["experts"])             # [E, B, T, D]
+    return jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32),
+                      mix).astype(x.dtype)
+
+
+def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
+               start, positions, inv_freqs, slopes):
+    """x: [B, T, D]; k_cache/v_cache: [B, S, Hkv, Dh]; start: [B] int32.
+
+    Mirrors the per-layer attention block of llama.cpp:217-592 (fused QKV →
+    rope → KV append → fused attention → output proj) with jnp compute; the
+    Pallas fused-attention kernel (ops/attention.py) replaces the core when
+    available.
+    """
+    B, T, D = x.shape
+    Hq, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    S = k_cache.shape[1]
+
+    q = linear(x, lp["wq"], lp.get("bq")).reshape(B, T, Hq, Dh)
+    k = linear(x, lp["wk"], lp.get("bk")).reshape(B, T, Hkv, Dh)
+    v = linear(x, lp["wv"], lp.get("bv")).reshape(B, T, Hkv, Dh)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm_w"], cfg.norm_eps)
+        k = rms_norm(k, lp["k_norm_w"], cfg.norm_eps)
+
+    if cfg.rope_style != "none":
+        cos, sin = rope_cos_sin(positions, inv_freqs)  # [B, T, d/2]
+        q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rope_dim)
+        k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rope_dim)
+
+    # append to cache at per-batch offsets
+    def upd(cache, new, s0):
+        return jax.lax.dynamic_update_slice(cache, new, (s0, 0, 0))
+    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), start)
+    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), start)
+
+    # grouped-query attention over the full (static-length) cache
+    G = Hq // Hkv
+    qh = q.reshape(B, T, Hkv, G, Dh).transpose(0, 2, 3, 1, 4)  # [B,Hkv,G,T,Dh]
+    kh = k_cache.transpose(0, 2, 1, 3)                         # [B,Hkv,S,Dh]
+    vh = v_cache.transpose(0, 2, 1, 3)
+    scale = cfg.attn_scale if cfg.attn_scale is not None else Dh ** -0.5
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32) * scale,
+                        kh.astype(jnp.float32))
+    if cfg.attn_softcap:
+        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+
+    s_idx = jnp.arange(S)[None, None, :]                       # [1, 1, S]
+    q_abs = positions[:, :, None]                              # [B, T, 1]
+    mask = s_idx <= q_abs                                      # causal+validity
+    if cfg.use_alibi:
+        # slopes [Hq] -> [Hkv, G]; bias = slope * (key_pos - query_pos)
+        dist = (s_idx - q_abs).astype(jnp.float32)             # [B, T, S]
+        bias = (slopes.reshape(Hkv, G)[None, :, :, None, None]
+                * dist[:, None, None, :, :])                   # [B,Hkv,G,T,S]
+        scores = scores + bias
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vh.astype(jnp.float32))
+    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq * Dh).astype(x.dtype)
+    out = linear(out, lp["wo"], lp.get("bo"))
+    return out, k_cache, v_cache
+
+
+def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
+           positions, inv_freqs, slopes):
+    h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
+    attn_out, k_cache, v_cache = _attention(
+        h, lp, cfg, k_cache, v_cache, start, positions, inv_freqs, slopes)
+    if cfg.post_attn_norm:
+        attn_out = _norm(attn_out, lp["post_attn_norm_w"],
+                         lp.get("post_attn_norm_b"), cfg)
+    if cfg.parallel_residual:
+        # gptj/gptneox/phi: mlp(norm2(x)) + attn(norm1(x)) + x;
+        # gptj shares one norm (params tie attn/ffn norm at conversion).
+        h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg) \
+            if "ffn_norm_w" in lp else h
+        x = x + attn_out + _mlp(h2, lp, cfg)
+    else:
+        x = x + attn_out
+        h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg)
+        x = x + _mlp(h2, lp, cfg)
+    return x, k_cache, v_cache
+
+
+def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
+            cache: Tuple[jnp.ndarray, jnp.ndarray], cfg: ModelConfig,
+            logits_dtype=jnp.float32):
+    """Run the decoder.
+
+    tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
+    number of tokens already processed per row); cache: (k, v) each
+    [L, B, S, Hkv, Dh]. Returns (logits [B, T, V], new_cache).
+    Analog of model_eval (llama.cpp:790) for prefill and decode alike.
+    """
+    k_all, v_all = cache
+    B, T = tokens.shape
+    positions = start[:, None] + jnp.arange(T)[None, :]        # [B, T]
+
+    x = jnp.take(params["embed"], tokens, axis=0)              # [B, T, D]
+    x = x.astype(jnp.bfloat16)
+    if cfg.embed_scale != 1.0:
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
+    if cfg.learned_pos_emb:
+        x = x + jnp.take(params["pos_embed"], positions + cfg.pos_offset,
+                         axis=0).astype(x.dtype)
+
+    inv_freqs = params.get("rope_inv_freqs")
+    slopes = params.get("alibi_slopes")
+
+    def body(carry, layer):
+        x = carry
+        lp, kc, vc = layer
+        x, kc, vc = _block(x, lp, cfg, kc, vc, start, positions,
+                           inv_freqs, slopes)
+        return x, (kc, vc)
+
+    x, (k_all, v_all) = jax.lax.scan(body, x, (params["layers"], k_all, v_all))
+
+    if cfg.final_norm:
+        x = _norm(x, params["final_norm_w"], params.get("final_norm_b"), cfg)
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings
+        logits = jnp.dot(x.astype(jnp.bfloat16),
+                         params["embed"].astype(jnp.bfloat16).T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = linear(x, lm_head, params.get("lm_head_b"),
+                        out_dtype=jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if cfg.logit_softcap:
+        logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+    return logits.astype(logits_dtype), (k_all, v_all)

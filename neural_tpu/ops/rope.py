@@ -1,0 +1,93 @@
+"""Rotary position embeddings (all variants used by the model zoo).
+
+Replaces the reference's RoPE op family (neural_speed/core/ne_layers.h:421-467
+``ne_rope_*``: NeoX vs GPT-J interleaved modes, partial rotary dims, shift
+mode for StreamingLLM, Phi-3 longrope) with functional jnp, jit-friendly.
+
+Conventions: q/k are [..., T, H, Dh]; ``positions`` is [..., T] int32.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rope_freqs(head_dim: int, rope_dim: Optional[int], theta: float,
+               scaling: Optional[dict] = None) -> np.ndarray:
+    """Per-pair inverse frequencies [rope_dim//2] (host-side constant)."""
+    d = rope_dim or head_dim
+    inv = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    if scaling:
+        kind = scaling.get("type", scaling.get("rope_type", "linear"))
+        if kind == "linear":
+            inv = inv / scaling["factor"]
+        elif kind in ("longrope", "su"):
+            # Phi-3 longrope: per-dim rescale factors (long context set).
+            # reference: ne_longrope_inplace (ne_layers.h:460).
+            factors = np.asarray(scaling["long_factor"], np.float64)
+            inv = inv / factors
+        elif kind == "yarn":
+            # simplified yarn: interpolate low-freq dims by factor
+            factor = scaling["factor"]
+            orig = scaling.get("original_max_position_embeddings", 4096)
+            low, high = scaling.get("beta_fast", 32), scaling.get("beta_slow", 1)
+            dim_range = np.arange(0, d, 2, dtype=np.float64)
+            wavelen = 2 * np.pi / inv
+            ramp = np.clip((wavelen - orig / high) / (orig / low - orig / high), 0, 1)
+            inv = inv / (factor * ramp + (1 - ramp))
+        elif kind == "dynamic":
+            pass  # dynamic NTK handled at call time; base case here
+        else:
+            raise ValueError(f"unknown rope scaling {kind}")
+    return inv.astype(np.float32)
+
+
+def rope_cos_sin(positions: jnp.ndarray, inv_freqs: jnp.ndarray,
+                 attn_factor: float = 1.0):
+    """cos/sin tables [..., T, rope_dim//2] for given positions."""
+    ang = positions[..., None].astype(jnp.float32) * inv_freqs  # [..., T, d/2]
+    return jnp.cos(ang) * attn_factor, jnp.sin(ang) * attn_factor
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+               style: str = "neox", rope_dim: Optional[int] = None) -> jnp.ndarray:
+    """Rotate [..., T, H, Dh]. ``style``:
+
+    - "neox": rotate halves — pair (i, i + d/2) (llama & most models)
+    - "gptj": interleaved — pair (2i, 2i+1) (GPT-J, shift-RoPE compatible)
+    """
+    Dh = x.shape[-1]
+    d = rope_dim or Dh
+    xr, x_pass = x[..., :d], x[..., d:]
+    c = cos[..., None, :]  # broadcast over heads: [..., T, 1, d/2]
+    s = sin[..., None, :]
+    if style == "neox":
+        x1, x2 = xr[..., : d // 2], xr[..., d // 2:]
+        out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    elif style == "gptj":
+        x1, x2 = xr[..., 0::2], xr[..., 1::2]
+        r1, r2 = x1 * c - x2 * s, x2 * c + x1 * s
+        out = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
+    else:
+        raise ValueError(style)
+    if d != Dh:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out.astype(x.dtype)
+
+
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """ALiBi per-head slopes (MPT/Bloom/Baichuan-13B).
+
+    reference: ne_alibi (ne_layers.h) / mpt graph; standard geometric series.
+    """
+    def pow2slopes(n):
+        start = 2.0 ** (-(2.0 ** -(np.log2(n) - 3)))
+        return start * (start ** np.arange(n))
+    n = 2 ** int(np.floor(np.log2(n_heads)))
+    slopes = pow2slopes(n)
+    if n < n_heads:
+        extra = pow2slopes(2 * n)[0::2][: n_heads - n]
+        slopes = np.concatenate([slopes, extra])
+    return slopes.astype(np.float32)

@@ -1,0 +1,66 @@
+"""Generation loops: prefill + decode.
+
+Analog of the reference's generation driver (application/main_run.cpp:439-600
+prefill-in-chunks + sampling loop; Python Model.generate __init__.py:337).
+The jitted ``model_step`` is the per-iteration unit; greedy/sampled loops
+drive it from Python (one host↔device round-trip per token, like the
+reference's per-step pybind call, but with donated cache buffers so the KV
+never copies).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.transformer import forward
+from .kvcache import init_cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def model_step(params, tokens, start, cache, cfg: ModelConfig):
+    """One eval: tokens [B, T] at cache offsets start [B] → logits, cache."""
+    return forward(params, tokens, start, cache, cfg)
+
+
+def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
+                    max_new_tokens: int = 32, max_len: Optional[int] = None,
+                    cache_dtype=jnp.bfloat16, stop_at_eos: bool = True):
+    """Single-sequence greedy decode. Returns the full id list."""
+    prompt = np.asarray(prompt_ids, np.int32)[None, :]          # [1, T]
+    T = prompt.shape[1]
+    S = max_len or min(cfg.max_seq_len, T + max_new_tokens)
+    cache = init_cache(cfg, 1, S, cache_dtype)
+    start = jnp.zeros((1,), jnp.int32)
+
+    logits, cache = model_step(params, jnp.asarray(prompt), start, cache, cfg)
+    next_id = int(jnp.argmax(logits[0, -1]))
+    out = list(prompt_ids) + [next_id]
+
+    pos = T
+    for _ in range(max_new_tokens - 1):
+        if stop_at_eos and next_id == cfg.eos_token_id:
+            break
+        tok = jnp.asarray([[next_id]], jnp.int32)
+        logits, cache = model_step(params, tok,
+                                   jnp.asarray([pos], jnp.int32), cache, cfg)
+        next_id = int(jnp.argmax(logits[0, -1]))
+        out.append(next_id)
+        pos += 1
+    return out
+
+
+def batch_logits(params, cfg: ModelConfig, input_ids: np.ndarray,
+                 max_len: Optional[int] = None):
+    """Full-sequence logits for a [B, T] batch (teacher-forced eval — the
+    reference's Model.__call__ logits path, __init__.py:439-481)."""
+    B, T = input_ids.shape
+    cache = init_cache(cfg, B, max_len or T)
+    start = jnp.zeros((B,), jnp.int32)
+    logits, _ = model_step(params, jnp.asarray(input_ids, jnp.int32), start,
+                           cache, cfg)
+    return logits
