@@ -1,0 +1,160 @@
+"""Driver benchmark: Llama-2-7B-architecture int4, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline: greedy decode tokens/sec/chip (reference baseline: 41.27 ms
+next-token latency on 56-core Xeon 8480L with fused attention ON →
+24.23 tok/s; BASELINE.md / docs/fused_attention.md:111).
+
+Weights are random, generated and quantized on-device layer by layer
+(numerics don't affect throughput). Timing: the tunneled backend's
+block_until_ready doesn't block, so every measurement chains work inside
+one jit and fetches a scalar; fixed dispatch overhead cancels via slope.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_tpu.core import PRESETS, quantize
+from neural_tpu.models.config import ModelConfig
+from neural_tpu.models import llama as llama_mod
+from neural_tpu.convert.hf import _add_aux
+from neural_tpu.runtime import init_cache
+from neural_tpu.runtime.generate import decode_loop, model_step
+
+LLAMA2_7B = ModelConfig(
+    arch="llama", vocab_size=32000, hidden_size=4096, n_layers=32,
+    n_heads=32, n_kv_heads=32, head_dim=128, intermediate_size=11008,
+    norm_eps=1e-5, rope_theta=10000.0, max_seq_len=4096)
+
+BASELINE_DECODE_TPS = 1000.0 / 41.27  # reference fused-attn next-token
+BASELINE_TTFT_MS = 1475.57            # reference 1975-token prompt
+
+
+def rand_quant_params(cfg: ModelConfig, quant="q4_0", seed=0):
+    """Random int4 params generated on device (never materializes fp32 7B)."""
+    qcfg = PRESETS[quant]
+    key = jax.random.PRNGKey(seed)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("shape_k", "shape_n"))
+    def make(key, shape_k, shape_n):
+        w = jax.random.normal(key, (shape_k, shape_n), jnp.float32) * 0.02
+        return quantize(w, qcfg)
+
+    from neural_tpu.convert.hf import _shape_for
+    layer_names = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"]
+    per_layer = {n: [] for n in layer_names}
+    norms = {"attn_norm_w": [], "ffn_norm_w": []}
+    for i in range(cfg.n_layers):
+        for n in layer_names:
+            key, k2 = jax.random.split(key)
+            K, N = _shape_for(n, cfg)
+            per_layer[n].append(make(k2, K, N))
+        for n in norms:
+            norms[n].append(jnp.ones((cfg.hidden_size,), jnp.float32))
+    layers = {n: jax.tree.map(lambda *xs: jnp.stack(xs), *v)
+              for n, v in per_layer.items()}
+    layers.update({n: jnp.stack(v) for n, v in norms.items()})
+
+    key, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "layers": layers,
+        "embed": (jax.random.normal(k2, (cfg.vocab_size, cfg.hidden_size),
+                                    jnp.bfloat16) * 0.02),
+        "final_norm_w": jnp.ones((cfg.hidden_size,), jnp.float32),
+        "lm_head": make(k3, cfg.hidden_size, cfg.vocab_size),
+    }
+    _add_aux(params, cfg)
+    return params
+
+
+def fetch(x):
+    return float(jnp.asarray(x).astype(jnp.float32).reshape(-1)[0])
+
+
+def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36):
+    token = jnp.asarray([[17]], jnp.int32)
+
+    def run(n):
+        cache = init_cache(cfg, 1, S)
+        pos = jnp.asarray([prompt_len], jnp.int32)
+        toks, cache = decode_loop(params, token, pos, cache, cfg, n)
+        return fetch(toks[-1])
+
+    run(lo); run(hi)  # compile both
+
+    def timed(n):  # best of 3
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time(); run(n); best = min(best, time.time() - t0)
+        return best
+    t_lo, t_hi = timed(lo), timed(hi)
+    per_tok = (t_hi - t_lo) / (hi - lo)
+    return 1.0 / per_tok, per_tok * 1e3
+
+
+def bench_prefill(params, cfg, T=1975, S=2048):
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, T), np.int32))
+    start = jnp.zeros((1,), jnp.int32)
+
+    from functools import partial
+    from neural_tpu.models.transformer import forward
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chain(params, tokens, n):
+        def body(i, tok):
+            cache = init_cache(cfg, 1, S)
+            logits, _ = forward(params, tok, start, cache, cfg,
+                                logits_dtype=jnp.bfloat16)
+            bump = (logits[0, -1, :1] * 0).astype(jnp.int32)
+            return tok.at[0, 0].set(tok[0, 0] + bump[0])
+        return jax.lax.fori_loop(0, n, body, tokens)[0, 0]
+
+    def timed(n):
+        fetch(chain(params, tokens, n))
+        best = 1e9
+        for _ in range(2):
+            t0 = time.time(); fetch(chain(params, tokens, n))
+            best = min(best, time.time() - t0)
+        return best
+    t1, t3 = timed(1), timed(3)
+    return (t3 - t1) / 2 * 1e3  # ms per prefill
+
+
+def main():
+    cfg = LLAMA2_7B
+    t0 = time.time()
+    params = rand_quant_params(cfg)
+    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    tps, ms_per_tok = bench_decode(params, cfg)
+    ttft_ms = bench_prefill(params, cfg)
+    print(f"# decode {ms_per_tok:.2f} ms/tok, prefill(1975) {ttft_ms:.0f} ms",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "llama2_7b_int4_decode_tokens_per_sec_per_chip",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / BASELINE_DECODE_TPS, 2),
+        "extra": {
+            "next_token_ms": round(ms_per_tok, 2),
+            "ttft_1975_ms": round(ttft_ms, 1),
+            "ttft_vs_baseline": round(BASELINE_TTFT_MS / max(ttft_ms, 1e-9), 2),
+            "baseline_next_token_ms": 41.27,
+            "baseline_ttft_ms": BASELINE_TTFT_MS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -132,22 +132,34 @@ def pack_chunk(cfg: QuantConfig, K: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QTensor:
-    """A quantized ``[K, N]`` weight. Pytree: arrays are leaves, cfg static."""
+    """A quantized ``[K, N]`` weight. Pytree: arrays are leaves, cfg static.
+
+    K/N are derived from the arrays (never stored statically) so that a
+    QTensor sliced by lax.scan (leading L stack) or sharded by shard_map
+    (TP row/column split) is self-consistently a smaller QTensor.
+    """
 
     planes: Tuple[jnp.ndarray, ...]  # packed code planes (or fp8 data)
     scales: jnp.ndarray              # [G, N]
     zeros: Optional[jnp.ndarray]     # [G, N] uint8, asym only
     perm: Optional[jnp.ndarray]      # [K] int32 act-order permutation or None
     cfg: QuantConfig = dataclasses.field(metadata=dict(static=True))
-    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
 
     @property
     def K(self) -> int:
-        return self.shape[0]
+        if self.cfg.kind.startswith("fp8"):
+            return self.planes[0].shape[-2]
+        p0 = bit_planes(self.cfg.bits)[0]
+        return self.planes[0].shape[-2] * (8 // p0) if p0 != 8 else \
+            self.planes[0].shape[-2]
 
     @property
     def N(self) -> int:
-        return self.shape[1]
+        return self.planes[0].shape[-1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.K, self.N)
 
     @property
     def group_size(self) -> int:
@@ -210,7 +222,7 @@ def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
             zeros = zp.astype(jnp.uint8)
         planes = pack_codes(codes, b, pack_chunk(cfg, K))
         scales = scales.astype(cfg.scale_jnp)
-        return QTensor(planes, scales, zeros, None, cfg, (K, N))
+        return QTensor(planes, scales, zeros, None, cfg)
 
     if cfg.kind in ("nf4", "fp4"):
         lut = jnp.asarray(cfg.lut)  # [16]
@@ -220,7 +232,7 @@ def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
         d = jnp.abs(normed[..., None] - lut)  # [G, g, N, 16]
         codes = jnp.argmin(d, axis=-1).astype(jnp.uint8).reshape(K, N)
         planes = pack_codes(codes, 4, pack_chunk(cfg, K))
-        return QTensor(planes, absmax.astype(cfg.scale_jnp), None, None, cfg, (K, N))
+        return QTensor(planes, absmax.astype(cfg.scale_jnp), None, None, cfg)
 
     if cfg.kind.startswith("fp8"):
         fp8 = jnp.float8_e4m3fn if cfg.kind == "fp8_e4m3" else jnp.float8_e5m2
@@ -228,7 +240,7 @@ def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
         absmax = jnp.max(jnp.abs(wg), axis=1) + eps
         scales = absmax / fmax
         data = (wg / scales[:, None, :]).reshape(K, N).astype(fp8)
-        return QTensor((data,), scales.astype(cfg.scale_jnp), None, None, cfg, (K, N))
+        return QTensor((data,), scales.astype(cfg.scale_jnp), None, None, cfg)
 
     raise ValueError(cfg.kind)
 

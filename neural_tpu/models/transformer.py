@@ -68,19 +68,31 @@ def _act(x, kind: str):
     raise ValueError(kind)
 
 
-def _mlp(x, lp: Params, cfg: ModelConfig):
+def _psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
+    """Under shard_map TP, w_gate/w_up are column-split (local output slice)
+    and w_down is row-split → the down-proj result is a partial sum, reduced
+    here with one psum (the reference's post-FFN ne_all_reduce,
+    llama.cpp:693)."""
     if cfg.is_moe:
-        return _moe_mlp(x, lp, cfg)
+        return _moe_mlp(x, lp, cfg, tp_axis)
     if cfg.mlp_gated:
         g = linear(x, lp["w_gate"], lp.get("b_gate"))
         u = linear(x, lp["w_up"], lp.get("b_up"))
         h = _act(g, cfg.act) * u
     else:
         h = _act(linear(x, lp["w_up"], lp.get("b_up")), cfg.act)
-    return linear(h, lp["w_down"], lp.get("b_down"))
+    down = linear(h, lp["w_down"])
+    down = _psum(down, tp_axis)
+    if lp.get("b_down") is not None:
+        down = down + lp["b_down"].astype(down.dtype)
+    return down
 
 
-def _moe_mlp(x, lp: Params, cfg: ModelConfig):
+def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     """Mixtral/Grok-style top-k routed experts.
 
     Reference computes this with gathered per-token expert matmuls
@@ -104,15 +116,16 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig):
 
     def one_expert(e_params):
         ecfg = dataclasses.replace(cfg, n_experts=0)
-        return _mlp(x, e_params, ecfg)                        # [B, T, D]
+        # defer the TP psum: sum partials over experts first, reduce once
+        return _mlp(x, e_params, ecfg, tp_axis=None)          # [B, T, D]
 
     outs = jax.lax.map(one_expert, lp["experts"])             # [E, B, T, D]
-    return jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32),
-                      mix).astype(x.dtype)
+    out = jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), mix)
+    return _psum(out, tp_axis).astype(x.dtype)
 
 
 def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
-               start, positions, inv_freqs, slopes):
+               start, positions, inv_freqs, slopes, tp_axis=None):
     """x: [B, T, D]; k_cache/v_cache: [B, S, Hkv, Dh]; start: [B] int32.
 
     Mirrors the per-layer attention block of llama.cpp:217-592 (fused QKV →
@@ -121,12 +134,19 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
     available.
     """
     B, T, D = x.shape
-    Hq, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Dh = cfg.head_dim
     S = k_cache.shape[1]
 
-    q = linear(x, lp["wq"], lp.get("bq")).reshape(B, T, Hq, Dh)
-    k = linear(x, lp["wk"], lp.get("bk")).reshape(B, T, Hkv, Dh)
-    v = linear(x, lp["wv"], lp.get("bv")).reshape(B, T, Hkv, Dh)
+    q = linear(x, lp["wq"], lp.get("bq"))
+    k = linear(x, lp["wk"], lp.get("bk"))
+    v = linear(x, lp["wv"], lp.get("bv"))
+    # head counts derived from (possibly TP-sharded) local widths: under
+    # shard_map each rank holds n_heads/tp heads (reference analog:
+    # llama.cpp:117-123 n_head /= world_size).
+    Hq, Hkv = q.shape[-1] // Dh, k.shape[-1] // Dh
+    q = q.reshape(B, T, Hq, Dh)
+    k = k.reshape(B, T, Hkv, Dh)
+    v = v.reshape(B, T, Hkv, Dh)
 
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm_w"], cfg.norm_eps)
@@ -167,15 +187,21 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vh.astype(jnp.float32))
     out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq * Dh).astype(x.dtype)
-    out = linear(out, lp["wo"], lp.get("bo"))
+    # wo is row-split under TP → partial sums; one psum here is the
+    # reference's post-attention ne_all_reduce (llama.cpp:592).
+    out = linear(out, lp["wo"])
+    out = _psum(out, tp_axis)
+    if lp.get("bo") is not None:
+        out = out + lp["bo"].astype(out.dtype)
     return out, k_cache, v_cache
 
 
 def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
-           positions, inv_freqs, slopes):
+           positions, inv_freqs, slopes, tp_axis=None):
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
     attn_out, k_cache, v_cache = _attention(
-        h, lp, cfg, k_cache, v_cache, start, positions, inv_freqs, slopes)
+        h, lp, cfg, k_cache, v_cache, start, positions, inv_freqs, slopes,
+        tp_axis)
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
                          lp.get("post_attn_norm_b"), cfg)
@@ -184,17 +210,17 @@ def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
         # gptj shares one norm (params tie attn/ffn norm at conversion).
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg) \
             if "ffn_norm_w" in lp else h
-        x = x + attn_out + _mlp(h2, lp, cfg)
+        x = x + attn_out + _mlp(h2, lp, cfg, tp_axis)
     else:
         x = x + attn_out
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg)
-        x = x + _mlp(h2, lp, cfg)
+        x = x + _mlp(h2, lp, cfg, tp_axis)
     return x, k_cache, v_cache
 
 
 def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             cache: Tuple[jnp.ndarray, jnp.ndarray], cfg: ModelConfig,
-            logits_dtype=jnp.float32):
+            logits_dtype=jnp.float32, tp_axis: Optional[str] = None):
     """Run the decoder.
 
     tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
@@ -221,7 +247,7 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
         x = carry
         lp, kc, vc = layer
         x, kc, vc = _block(x, lp, cfg, kc, vc, start, positions,
-                           inv_freqs, slopes)
+                           inv_freqs, slopes, tp_axis)
         return x, (kc, vc)
 
     x, (k_all, v_all) = jax.lax.scan(body, x, (params["layers"], k_all, v_all))
@@ -234,8 +260,11 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
                          params["embed"].astype(jnp.bfloat16).T,
                          preferred_element_type=jnp.float32)
     else:
+        # lm_head is column(vocab)-split under TP; gather the vocab shards
         logits = linear(x, lm_head, params.get("lm_head_b"),
                         out_dtype=jnp.float32)
+        if tp_axis:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     logits = logits.astype(jnp.float32)
     if cfg.logit_softcap:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)

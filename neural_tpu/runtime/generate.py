@@ -54,6 +54,27 @@ def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(3,))
+def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int):
+    """Fully on-device autoregressive greedy decode via lax.scan.
+
+    Unlike the reference (one Python↔C++ crossing per token,
+    main_pybind.cpp:609), the whole loop runs on-device: token [B, 1],
+    pos [B] → (tokens [n_steps, B], final cache). This is the production
+    decode path and the benchmark unit.
+    """
+    def body(carry, _):
+        token, pos, cache = carry
+        logits, cache = forward(params, token, pos, cache, cfg,
+                                logits_dtype=jnp.bfloat16)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return (nxt[:, None], pos + 1, cache), nxt
+
+    (token, pos, cache), toks = jax.lax.scan(
+        body, (token, pos, cache), None, length=n_steps)
+    return toks, cache
+
+
 def batch_logits(params, cfg: ModelConfig, input_ids: np.ndarray,
                  max_len: Optional[int] = None):
     """Full-sequence logits for a [B, T] batch (teacher-forced eval — the

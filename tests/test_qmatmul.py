@@ -77,7 +77,7 @@ def test_act_order_perm():
     x = mk(1, (4, 256), 1.0)
     perm = jnp.asarray(np.random.default_rng(3).permutation(256))
     qt = quantize(w[perm], PRESETS["q4_0"])
-    qt = QTensor(qt.planes, qt.scales, qt.zeros, perm, qt.cfg, qt.shape)
+    qt = QTensor(qt.planes, qt.scales, qt.zeros, perm, qt.cfg)
     out = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, interpret=True))
     ref = np.asarray(matmul_ref(x, qt, jnp.float32))
     np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)

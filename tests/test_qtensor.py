@@ -117,7 +117,7 @@ def test_act_order_perm_roundtrip():
     w = rand(8, (64, 32))
     perm = jnp.asarray(np.random.default_rng(0).permutation(64))
     qt = quantize(w[perm], QuantConfig(bits=8, group_size=32))
-    qt2 = QTensor(qt.planes, qt.scales, qt.zeros, perm, qt.cfg, qt.shape)
+    qt2 = QTensor(qt.planes, qt.scales, qt.zeros, perm, qt.cfg)
     wd = np.asarray(dequantize(qt2))
     wref = np.asarray(dequantize(qt))[np.argsort(np.asarray(perm))]
     np.testing.assert_allclose(wd, wref, rtol=1e-5)
