@@ -19,6 +19,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.transformer import forward
 from .kvcache import init_cache
+from .sampling import SamplingParams, SamplerState, sample
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -54,6 +55,41 @@ def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     return out
 
 
+def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
+             sampling: Optional[SamplingParams] = None,
+             max_new_tokens: int = 128, max_len: Optional[int] = None,
+             seed: int = 0, stop_at_eos: bool = True):
+    """Sampled single-sequence generation (reference Model.generate path
+    with the full main_run.cpp:571-600 sampling stack)."""
+    sampling = sampling or SamplingParams()
+    prompt = np.asarray(prompt_ids, np.int32)[None, :]
+    T = prompt.shape[1]
+    S = max_len or min(cfg.max_seq_len, T + max_new_tokens)
+    cache = init_cache(cfg, 1, S)
+    state = SamplerState.init(1, sampling)
+    key = jax.random.PRNGKey(seed)
+
+    logits, cache = model_step(params, jnp.asarray(prompt),
+                               jnp.zeros((1,), jnp.int32), cache, cfg)
+    out = list(prompt_ids)
+    pos = T
+    for i in range(max_new_tokens):
+        key, sub = jax.random.split(key)
+        hist = np.asarray(out[-sampling.repeat_last_n:], np.int32)[None, :]
+        tok, state = sample(logits[:, -1], sub, sampling, state,
+                            prev_tokens=jnp.asarray(hist))
+        next_id = int(tok[0])
+        out.append(next_id)
+        if stop_at_eos and next_id == cfg.eos_token_id:
+            break
+        if i == max_new_tokens - 1 or pos + 1 >= S:
+            break
+        logits, cache = model_step(params, jnp.asarray([[next_id]], jnp.int32),
+                                   jnp.asarray([pos], jnp.int32), cache, cfg)
+        pos += 1
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(3,))
 def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int):
     """Fully on-device autoregressive greedy decode via lax.scan.
@@ -72,6 +108,31 @@ def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int):
 
     (token, pos, cache), toks = jax.lax.scan(
         body, (token, pos, cache), None, length=n_steps)
+    return toks, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "sampling"),
+         donate_argnums=(3,))
+def sample_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
+                sampling: SamplingParams, key, history):
+    """On-device sampled decode: like decode_loop but with the full sampling
+    pipeline per step. ``history`` [B, repeat_last_n] carries the recent
+    tokens for penalties (a ring updated on-device)."""
+    B = token.shape[0]
+    state = SamplerState.init(B, sampling)
+
+    def body(carry, key):
+        token, pos, cache, state, history = carry
+        logits, cache = forward(params, token, pos, cache, cfg,
+                                logits_dtype=jnp.float32)
+        tok, state = sample(logits[:, -1], key, sampling, state,
+                            prev_tokens=history)
+        history = jnp.concatenate([history[:, 1:], tok[:, None]], axis=1)
+        return (tok[:, None], pos + 1, cache, state, history), tok
+
+    keys = jax.random.split(key, n_steps)
+    (token, pos, cache, state, history), toks = jax.lax.scan(
+        body, (token, pos, cache, state, history), keys)
     return toks, cache
 
 
