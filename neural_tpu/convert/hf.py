@@ -29,7 +29,24 @@ def register_arch(names, module):
         ARCH_MODULES[n] = module
 
 
+from ..models import (gptj, gptneox, opt, bloom, mpt, falcon, starcoder,
+                      qwen, phi, gemma, stablelm, baichuan, chatglm, grok)
+
 register_arch(["llama", "mistral", "mixtral", "solar"], llama_mod)
+register_arch(["gptj"], gptj)
+register_arch(["gpt_neox"], gptneox)
+register_arch(["opt"], opt)
+register_arch(["bloom"], bloom)
+register_arch(["mpt"], mpt)
+register_arch(["falcon"], falcon)
+register_arch(["gpt_bigcode"], starcoder)
+register_arch(["qwen", "qwen2", "qwen3"], qwen)
+register_arch(["phi", "phi3"], phi)
+register_arch(["gemma", "gemma2"], gemma)
+register_arch(["stablelm"], stablelm)
+register_arch(["baichuan"], baichuan)
+register_arch(["chatglm"], chatglm)
+register_arch(["grok", "grok-1"], grok)
 
 
 def resolve_quant(quant: Union[None, str, QuantConfig]) -> Optional[QuantConfig]:
@@ -60,6 +77,8 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
     QUANT_TENSORS (reference per-layer quant config analog)."""
     qcfg = resolve_quant(quant)
     quant_names = set(getattr(mod, "QUANT_TENSORS", ()))
+    if hasattr(mod, "preprocess_state_dict"):
+        sd = mod.preprocess_state_dict(dict(sd), cfg)
 
     # ---- per-layer stacked params
     layer_maps = [mod.hf_layer_map(i, cfg) for i in range(cfg.n_layers)]
@@ -87,6 +106,9 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
             else:
                 experts[sub] = jnp.asarray(np.stack(ws), dtype)
         layers["experts"] = experts
+    if hasattr(mod, "layer_flags"):
+        for n, arr in mod.layer_flags(cfg).items():
+            layers[n] = jnp.asarray(arr)
 
     params: Dict[str, Any] = {"layers": layers}
 
@@ -147,6 +169,8 @@ def init_random(cfg: ModelConfig, seed: int = 0,
             sd[hf] = r(D, V).T if tr else r(D, V)
         elif ours == "pos_embed":
             sd[hf] = r(cfg.max_seq_len + cfg.pos_offset, D)
+        elif ours == "lm_head_b":
+            sd[hf] = np.zeros(V, np.float32)
         else:
             sd[hf] = np.ones(D, np.float32)
     return build_params(sd, cfg, mod, quant, dtype)
@@ -164,5 +188,6 @@ def _shape_for(name: str, cfg: ModelConfig):
         "bq": (cfg.q_dim,), "bk": (cfg.kv_dim,), "bv": (cfg.kv_dim,),
         "bo": (D,), "b_gate": (I_,), "b_up": (I_,), "b_down": (D,),
         "q_norm_w": (cfg.head_dim,), "k_norm_w": (cfg.head_dim,),
+        "post_ffn_norm_w": (D,), "post_ffn_norm_b": (D,),
     }
     return table[name]

@@ -1,4 +1,7 @@
 from .config import ModelConfig
-from . import llama
+from . import (llama, gptj, gptneox, opt, bloom, mpt, falcon, starcoder,
+               qwen, phi, gemma, stablelm, baichuan, chatglm, grok)
 
-__all__ = ["ModelConfig", "llama"]
+__all__ = ["ModelConfig", "llama", "gptj", "gptneox", "opt", "bloom", "mpt",
+           "falcon", "starcoder", "qwen", "phi", "gemma", "stablelm",
+           "baichuan", "chatglm", "grok"]

@@ -61,6 +61,9 @@ class ModelConfig:
     logit_softcap: float = 0.0
     final_norm: bool = True
 
+    sliding_window: int = 0       # mistral/gemma2 local attention window
+    post_ffn_norm: bool = False   # gemma2 post-feedforward norm
+
     # MoE (mixtral, grok)
     n_experts: int = 0
     n_experts_active: int = 0

@@ -125,7 +125,8 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
 
 
 def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
-               start, positions, inv_freqs, slopes, tp_axis=None):
+               start, positions, inv_freqs, slopes, tp_axis=None,
+               sliding=None):
     """x: [B, T, D]; k_cache/v_cache: [B, S, Hkv, Dh]; start: [B] int32.
 
     Mirrors the per-layer attention block of llama.cpp:217-592 (fused QKV →
@@ -177,6 +178,11 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
     s_idx = jnp.arange(S)[None, None, :]                       # [1, 1, S]
     q_abs = positions[:, :, None]                              # [B, T, 1]
     mask = s_idx <= q_abs                                      # causal+validity
+    if cfg.sliding_window and sliding is not None:
+        in_window = s_idx > q_abs - cfg.sliding_window
+        mask = mask & (in_window | jnp.logical_not(sliding))
+    elif cfg.sliding_window:
+        mask = mask & (s_idx > q_abs - cfg.sliding_window)
     if cfg.use_alibi:
         # slopes [Hq] -> [Hkv, G]; bias = slope * (key_pos - query_pos)
         dist = (s_idx - q_abs).astype(jnp.float32)             # [B, T, S]
@@ -201,7 +207,7 @@ def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
     attn_out, k_cache, v_cache = _attention(
         h, lp, cfg, k_cache, v_cache, start, positions, inv_freqs, slopes,
-        tp_axis)
+        tp_axis, sliding=lp.get("use_sliding"))
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
                          lp.get("post_attn_norm_b"), cfg)
@@ -214,7 +220,11 @@ def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
     else:
         x = x + attn_out
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg)
-        x = x + _mlp(h2, lp, cfg, tp_axis)
+        mlp_out = _mlp(h2, lp, cfg, tp_axis)
+        if cfg.post_ffn_norm:
+            mlp_out = _norm(mlp_out, lp["post_ffn_norm_w"],
+                            lp.get("post_ffn_norm_b"), cfg)
+        x = x + mlp_out
     return x, k_cache, v_cache
 
 
@@ -239,6 +249,9 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     if cfg.learned_pos_emb:
         x = x + jnp.take(params["pos_embed"], positions + cfg.pos_offset,
                          axis=0).astype(x.dtype)
+    if "embed_norm_w" in params:  # bloom word_embeddings_layernorm
+        x = layer_norm(x, params["embed_norm_w"], params.get("embed_norm_b"),
+                       cfg.norm_eps)
 
     inv_freqs = params.get("rope_inv_freqs")
     slopes = params.get("alibi_slopes")
