@@ -147,7 +147,8 @@ class QTensor:
 
     @property
     def K(self) -> int:
-        if self.cfg.kind.startswith("fp8"):
+        if self.cfg.kind.startswith("fp8") or \
+                self.planes[0].dtype in (jnp.int4, jnp.uint4):
             return self.planes[0].shape[-2]
         p0 = bit_planes(self.cfg.bits)[0]
         return self.planes[0].shape[-2] * (8 // p0) if p0 != 8 else \
@@ -273,7 +274,13 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     g = qt.group_size
 
     if cfg.kind == "int":
-        codes = unpack_codes(qt.planes, cfg.bits, pack_chunk(cfg, K))  # int32 [K, N]
+        if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+            codes = qt.planes[0].astype(jnp.int32)
+            if cfg.sym:
+                codes = codes + 8          # back to unsigned code domain
+        else:
+            codes = unpack_codes(qt.planes, cfg.bits,
+                                 pack_chunk(cfg, K))  # int32 [K, N]
         if cfg.bits == 1:
             vals = codes.astype(jnp.float32) * 2.0 - 1.0
         elif cfg.sym:
@@ -300,6 +307,38 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
         inv = jnp.zeros_like(qt.perm).at[qt.perm].set(jnp.arange(K))
         w = w[inv]
     return w.astype(dtype)
+
+
+def to_native(qt: QTensor) -> QTensor:
+    """Convert a packed 4-bit int QTensor to native int4/uint4 codes.
+
+    The resulting single plane is a [.., K, N] jnp.int4 (sym, centered) or
+    jnp.uint4 (asym) array: XLA's TPU backend has a hardware-efficient
+    int4→bf16 convert fused into matmuls, which beats shift/mask unpacking
+    for decode (VPU-bound). Call INSIDE a jit (ideally once, before a scan
+    over decode steps): int4 arrays cannot cross jit boundaries on some
+    runtimes. No-op for other kinds/widths.
+    """
+    cfg = qt.cfg
+    if cfg.kind != "int" or cfg.bits != 4 or qt.planes[0].dtype != jnp.uint8:
+        return qt
+    chunk = pack_chunk(cfg, qt.K)
+
+    def unpack2d(plane):
+        codes = unpack_codes((plane,), 4, chunk)           # int32 [K, N]
+        if cfg.sym:
+            return (codes - 8).astype(jnp.int4)
+        return codes.astype(jnp.uint4)
+
+    plane = qt.planes[0]
+    fn = unpack2d
+    for _ in range(plane.ndim - 2):                        # L / E stacks
+        fn = jax.vmap(fn)
+    return QTensor((fn(plane),), qt.scales, qt.zeros, qt.perm, cfg)
+
+
+def is_native(qt: QTensor) -> bool:
+    return qt.planes[0].dtype in (jnp.int4, jnp.uint4)
 
 
 def matmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:

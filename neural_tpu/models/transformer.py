@@ -32,6 +32,7 @@ from ..core.qtensor import QTensor
 from ..ops.qmatmul import qmatmul
 from ..ops.norms import rms_norm, layer_norm
 from ..ops.rope import rope_freqs, rope_cos_sin, apply_rope, alibi_slopes
+from ..ops.attention import attend, quantize_kv
 from .config import ModelConfig
 
 Params = Dict[str, Any]
@@ -124,19 +125,19 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     return _psum(out, tp_axis).astype(x.dtype)
 
 
-def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
+def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
                start, positions, inv_freqs, slopes, tp_axis=None,
                sliding=None):
-    """x: [B, T, D]; k_cache/v_cache: [B, S, Hkv, Dh]; start: [B] int32.
+    """x: [B, T, D]; k_cache/v_cache: [B, Hkv, S, Dh] (head-major, bf16 or
+    int8 with scales [B, Hkv, 8, S]); start: [B] int32.
 
     Mirrors the per-layer attention block of llama.cpp:217-592 (fused QKV →
-    rope → KV append → fused attention → output proj) with jnp compute; the
-    Pallas fused-attention kernel (ops/attention.py) replaces the core when
-    available.
+    rope → KV append (ne_flash_attn_update_k/v) → fused attention → output
+    proj); the compute core dispatches to the Pallas flash-decode kernel or
+    the XLA reference in ops/attention.py.
     """
     B, T, D = x.shape
     Dh = cfg.head_dim
-    S = k_cache.shape[1]
 
     q = linear(x, lp["wq"], lp.get("bq"))
     k = linear(x, lp["wk"], lp.get("bk"))
@@ -158,56 +159,43 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache,
         q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rope_dim)
         k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rope_dim)
 
-    # append to cache at per-batch offsets
+    # append to the head-major cache at per-batch offsets
+    kt = k.transpose(0, 2, 1, 3)                     # [B, Hkv, T, Dh]
+    vt = v.transpose(0, 2, 1, 3)
+    if k_sc is not None:  # int8 KV (reference packed int8 KV layouts)
+        kt, ks_new = quantize_kv(kt)                 # scales [B, Hkv, T]
+        vt, vs_new = quantize_kv(vt)
+
+        def upds(sc, new, s0):                        # sc [Hkv, 8, S]
+            rep = jnp.broadcast_to(new[:, None, :], (new.shape[0], 8,
+                                                     new.shape[1]))
+            return jax.lax.dynamic_update_slice(sc, rep, (0, 0, s0))
+        k_sc = jax.vmap(upds)(k_sc, ks_new, start)
+        v_sc = jax.vmap(upds)(v_sc, vs_new, start)
+
     def upd(cache, new, s0):
-        return jax.lax.dynamic_update_slice(cache, new, (s0, 0, 0))
-    k_cache = jax.vmap(upd)(k_cache, k.astype(k_cache.dtype), start)
-    v_cache = jax.vmap(upd)(v_cache, v.astype(v_cache.dtype), start)
+        return jax.lax.dynamic_update_slice(
+            cache, new.astype(cache.dtype), (0, s0, 0))
+    k_cache = jax.vmap(upd)(k_cache, kt, start)
+    v_cache = jax.vmap(upd)(v_cache, vt, start)
 
-    # grouped-query attention over the full (static-length) cache
-    G = Hq // Hkv
-    qh = q.reshape(B, T, Hkv, G, Dh).transpose(0, 2, 3, 1, 4)  # [B,Hkv,G,T,Dh]
-    kh = k_cache.transpose(0, 2, 1, 3)                         # [B,Hkv,S,Dh]
-    vh = v_cache.transpose(0, 2, 1, 3)
-    scale = cfg.attn_scale if cfg.attn_scale is not None else Dh ** -0.5
-    scores = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32) * scale,
-                        kh.astype(jnp.float32))
-    if cfg.attn_softcap:
-        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
-
-    s_idx = jnp.arange(S)[None, None, :]                       # [1, 1, S]
-    q_abs = positions[:, :, None]                              # [B, T, 1]
-    mask = s_idx <= q_abs                                      # causal+validity
-    if cfg.sliding_window and sliding is not None:
-        in_window = s_idx > q_abs - cfg.sliding_window
-        mask = mask & (in_window | jnp.logical_not(sliding))
-    elif cfg.sliding_window:
-        mask = mask & (s_idx > q_abs - cfg.sliding_window)
-    if cfg.use_alibi:
-        # slopes [Hq] -> [Hkv, G]; bias = slope * (key_pos - query_pos)
-        dist = (s_idx - q_abs).astype(jnp.float32)             # [B, T, S]
-        bias = (slopes.reshape(Hkv, G)[None, :, :, None, None]
-                * dist[:, None, None, :, :])                   # [B,Hkv,G,T,S]
-        scores = scores + bias
-    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vh.astype(jnp.float32))
-    out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq * Dh).astype(x.dtype)
+    out = attend(q, k_cache, v_cache, k_sc, v_sc, positions, cfg,
+                 slopes=slopes, sliding=sliding).astype(x.dtype)
     # wo is row-split under TP → partial sums; one psum here is the
     # reference's post-attention ne_all_reduce (llama.cpp:592).
     out = linear(out, lp["wo"])
     out = _psum(out, tp_axis)
     if lp.get("bo") is not None:
         out = out + lp["bo"].astype(out.dtype)
-    return out, k_cache, v_cache
+    return out, k_cache, v_cache, k_sc, v_sc
 
 
-def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
-           positions, inv_freqs, slopes, tp_axis=None):
+def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
+           start, positions, inv_freqs, slopes, tp_axis=None):
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
-    attn_out, k_cache, v_cache = _attention(
-        h, lp, cfg, k_cache, v_cache, start, positions, inv_freqs, slopes,
-        tp_axis, sliding=lp.get("use_sliding"))
+    attn_out, k_cache, v_cache, k_sc, v_sc = _attention(
+        h, lp, cfg, k_cache, v_cache, k_sc, v_sc, start, positions,
+        inv_freqs, slopes, tp_axis, sliding=lp.get("use_sliding"))
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
                          lp.get("post_attn_norm_b"), cfg)
@@ -225,7 +213,7 @@ def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, start,
             mlp_out = _norm(mlp_out, lp["post_ffn_norm_w"],
                             lp.get("post_ffn_norm_b"), cfg)
         x = x + mlp_out
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_sc, v_sc
 
 
 def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
@@ -234,11 +222,15 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     """Run the decoder.
 
     tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
-    number of tokens already processed per row); cache: (k, v) each
-    [L, B, S, Hkv, Dh]. Returns (logits [B, T, V], new_cache).
-    Analog of model_eval (llama.cpp:790) for prefill and decode alike.
+    number of tokens already processed per row); cache: KVCache with
+    head-major [L, B, Hkv, S, Dh] k/v (+ scales if int8). Returns
+    (logits [B, T, V], new_cache). Analog of model_eval (llama.cpp:790)
+    for prefill and decode alike.
     """
-    k_all, v_all = cache
+    from ..runtime.kvcache import KVCache
+    k_all, v_all = cache[0], cache[1]
+    ks_all = cache.k_scale if hasattr(cache, "k_scale") else None
+    vs_all = cache.v_scale if hasattr(cache, "v_scale") else None
     B, T = tokens.shape
     positions = start[:, None] + jnp.arange(T)[None, :]        # [B, T]
 
@@ -258,12 +250,31 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
 
     def body(carry, layer):
         x = carry
-        lp, kc, vc = layer
-        x, kc, vc = _block(x, lp, cfg, kc, vc, start, positions,
-                           inv_freqs, slopes, tp_axis)
-        return x, (kc, vc)
+        lp, kc, vc, ks, vs = layer
+        x, kc, vc, ks, vs = _block(x, lp, cfg, kc, vc, ks, vs, start,
+                                   positions, inv_freqs, slopes, tp_axis)
+        return x, (kc, vc, ks, vs)
 
-    x, (k_all, v_all) = jax.lax.scan(body, x, (params["layers"], k_all, v_all))
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled layers (decode loops): weights are separate loop-invariant
+        # buffers, so Pallas kernels read them in place — a lax.scan over
+        # stacked weights would materialize a sliced copy per step.
+        new_k, new_v, new_ks, new_vs = [], [], [], []
+        for l, lp in enumerate(params["layers"]):
+            x, kc, vc, ks, vs = _block(
+                x, lp, cfg, k_all[l], v_all[l],
+                None if ks_all is None else ks_all[l],
+                None if vs_all is None else vs_all[l],
+                start, positions, inv_freqs, slopes, tp_axis)
+            new_k.append(kc); new_v.append(vc)
+            new_ks.append(ks); new_vs.append(vs)
+        k_all = jnp.stack(new_k)
+        v_all = jnp.stack(new_v)
+        ks_all = None if ks_all is None else jnp.stack(new_ks)
+        vs_all = None if vs_all is None else jnp.stack(new_vs)
+    else:
+        x, (k_all, v_all, ks_all, vs_all) = jax.lax.scan(
+            body, x, (params["layers"], k_all, v_all, ks_all, vs_all))
 
     if cfg.final_norm:
         x = _norm(x, params["final_norm_w"], params.get("final_norm_b"), cfg)
@@ -281,4 +292,4 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     logits = logits.astype(jnp.float32)
     if cfg.logit_softcap:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
-    return logits.astype(logits_dtype), (k_all, v_all)
+    return logits.astype(logits_dtype), KVCache(k_all, v_all, ks_all, vs_all)

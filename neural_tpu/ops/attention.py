@@ -1,0 +1,245 @@
+"""Fused attention with (optionally int8-quantized) KV cache.
+
+TPU-native replacement for the reference's fused-MHA stack
+(neural_speed/core/layers/mha_dense.h:24-150 ``bestla_reordered_attn_fp32_*``
++ mha_dense_wrapper.h:546 ``mha_interface_t``: flash-style softmax(QK^T)V
+over a packed, optionally int8 KV cache, GQA/MQA, ALiBi, causal masks).
+
+Cache layout is head-major ``[B, Hkv, S, Dh]`` (the analog of the
+reference's NTILE-reordered packed KV, mha_dense.h:35 ATTN_FWD_LAYOUT):
+per-head KV is contiguous, so Pallas S-blocks tile legally and stream at
+full HBM bandwidth. int8 KV scales are stored ``[B, Hkv, 8, S]`` — the
+per-(token, head) scale replicated across 8 sublanes so a [1, blk] row
+slice is alignment-legal inside the kernel.
+
+Paths:
+- ``attend_xla``: jnp reference (runs everywhere; the test oracle — analog
+  of ``bestla_fusion_attn_forward_ref``, mha_dense_wrapper.h:1371).
+- ``flash_decode``: Pallas online-softmax kernel for T=1 decode with the
+  int8 dequant folded into score columns / probability rows.
+- ``attend``: dispatcher (reference analog: ne_bestla.cpp:205 dispatch).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def quantize_kv(x: jnp.ndarray):
+    """[..., Dh] → (int8 values, f32 scales [...]). Per-token-head absmax."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = absmax / 127.0 + 1e-9
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _i8f(x):
+    """int8 → f32 via int32 (Mosaic lacks direct sub-word float casts)."""
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
+               slopes=None, sliding=None):
+    """Reference attention (jnp). q: [B, T, Hq, Dh]; k/v_cache:
+    [B, Hkv, S, Dh] (bf16 or int8, scales [B, Hkv, 8, S]);
+    positions [B, T]. Returns [B, T, Hq*Dh] (f32 accumulation)."""
+    B, T, Hq, Dh = q.shape
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    G = Hq // Hkv
+
+    if k_scale is not None:
+        kh = k_cache.astype(jnp.float32) * k_scale[:, :, 0, :, None]
+        vh = v_cache.astype(jnp.float32) * v_scale[:, :, 0, :, None]
+    else:
+        kh = k_cache.astype(jnp.float32)
+        vh = v_cache.astype(jnp.float32)
+    qh = q.reshape(B, T, Hkv, G, Dh).transpose(0, 2, 3, 1, 4)  # [B,Hkv,G,T,Dh]
+    scale = cfg.attn_scale if cfg.attn_scale is not None else Dh ** -0.5
+    scores = jnp.einsum("bhgtd,bhsd->bhgts",
+                        qh.astype(jnp.float32) * scale, kh)
+    if cfg.attn_softcap:
+        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+
+    s_idx = jnp.arange(S)[None, None, :]
+    q_abs = positions[:, :, None]
+    mask = s_idx <= q_abs
+    if cfg.sliding_window and sliding is not None:
+        mask = mask & ((s_idx > q_abs - cfg.sliding_window)
+                       | jnp.logical_not(sliding))
+    elif cfg.sliding_window:
+        mask = mask & (s_idx > q_abs - cfg.sliding_window)
+    if cfg.use_alibi and slopes is not None:
+        dist = (s_idx - q_abs).astype(jnp.float32)
+        scores = scores + (slopes.reshape(Hkv, G)[None, :, :, None, None]
+                           * dist[:, None, None, :, :])
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vh)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq * Dh)
+
+
+# ---------------------------------------------------------------------------
+# Pallas decode kernel (T = 1)
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int, kv_int8: bool,
+                   softcap: float, scale: float, window: int):
+    """Grid (B, Hkv, S/blk_s) with S innermost; online softmax in scratch."""
+    i = 0
+    q_ref = refs[i]; i += 1          # [1, 1, G8, Dh]
+    k_ref = refs[i]; i += 1          # [1, 1, blk_s, Dh]
+    v_ref = refs[i]; i += 1
+    if kv_int8:
+        ks_ref = refs[i]; i += 1     # [1, 1, 8, blk_s]
+        vs_ref = refs[i]; i += 1
+    out_ref = refs[i]                # [1, 1, G8, Dh]
+    m_ref, l_ref, acc_ref = refs[i + 1], refs[i + 2], refs[i + 3]
+
+    b = pl.program_id(0)
+    sblk = pl.program_id(2)
+
+    @pl.when(sblk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = lens_ref[b]
+    blk_start = sblk * blk_s
+    G8, Dh = q_ref.shape[2], q_ref.shape[3]
+
+    @pl.when(blk_start < length)
+    def _process():
+        q = q_ref[...].reshape(G8, Dh).astype(jnp.float32)
+        if kv_int8:
+            k = _i8f(k_ref[...].reshape(blk_s, Dh))
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            ks = ks_ref[...].reshape(8, blk_s)[0:1, :]        # [1, blk_s]
+            s = s * (ks * scale)
+        else:
+            k = k_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
+            s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
+        pos = blk_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = pos < length
+        if window:
+            mask = jnp.logical_and(mask, pos >= length - window)
+        s = jnp.where(mask, s, NEG)
+
+        m_prev = m_ref[...]                                    # [G8, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                                 # [G8, blk_s]
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
+        if kv_int8:
+            vs = vs_ref[...].reshape(8, blk_s)[0:1, :]
+            p = p * vs
+            v = _i8f(v_ref[...].reshape(blk_s, Dh))
+        else:
+            v = v_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = m_new
+
+    @pl.when(sblk == n_sblk - 1)
+    def _finalize():
+        out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        out_ref[...] = out.reshape(out_ref.shape).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blk_s", "softcap", "scale", "window", "interpret"))
+def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
+                 slopes=None, blk_s=512, softcap=0.0, scale=None,
+                 window=0, interpret=False):
+    """q: [B, Hq, Dh]; caches [B, Hkv, S, Dh]; scales [B, Hkv, 8, S] or
+    None; lengths [B] (keys valid at positions < length) → [B, Hq, Dh]."""
+    B, Hq, Dh = q.shape
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    scale = Dh ** -0.5 if scale is None else float(scale)
+    kv_int8 = k_scale is not None
+    assert slopes is None, "ALiBi decode uses the XLA path for now"
+    blk_s = min(blk_s, S)
+    assert S % blk_s == 0, (S, blk_s)
+    n_sblk = S // blk_s
+
+    qg = q.reshape(B, Hkv, G, Dh)
+    if G8 != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, blk_s, Dh), lambda b, h, s, *_: (b, h, s, 0)),
+        pl.BlockSpec((1, 1, blk_s, Dh), lambda b, h, s, *_: (b, h, s, 0)),
+    ]
+    operands = [qg, k_cache, v_cache]
+    if kv_int8:
+        in_specs += [
+            pl.BlockSpec((1, 1, 8, blk_s), lambda b, h, s, *_: (b, h, 0, s)),
+            pl.BlockSpec((1, 1, 8, blk_s), lambda b, h, s, *_: (b, h, 0, s))]
+        operands += [k_scale, v_scale]
+    kernel = functools.partial(
+        _decode_kernel, blk_s=blk_s, n_sblk=n_sblk, kv_int8=kv_int8,
+        softcap=float(softcap), scale=scale, window=int(window))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, n_sblk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G8, 1), jnp.float32),
+            pltpu.VMEM((G8, 1), jnp.float32),
+            pltpu.VMEM((G8, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G8, Dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), *operands)
+    return out[:, :, :G, :].reshape(B, Hq, Dh)
+
+
+def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
+           slopes=None, sliding=None, force=None, interpret=False):
+    """Dispatcher: Pallas decode kernel when T==1 on TPU (and the config's
+    sliding flag is layer-static), XLA reference otherwise."""
+    B, T, Hq, Dh = q.shape
+    S = k_cache.shape[2]
+    backend = jax.default_backend()
+    use_pallas = (force == "pallas" or interpret
+                  or (force is None and backend == "tpu"))
+    layer_sliding_ok = sliding is None  # per-layer traced flag → XLA path
+    if (use_pallas and T == 1 and layer_sliding_ok and not cfg.use_alibi
+            and Dh % 128 == 0 and S % 512 == 0 and force != "xla"):
+        out = flash_decode(
+            q[:, 0], k_cache, v_cache, k_scale, v_scale,
+            lengths=positions[:, 0] + 1,
+            softcap=cfg.attn_softcap, window=cfg.sliding_window or 0,
+            scale=(cfg.attn_scale if cfg.attn_scale is not None
+                   else Dh ** -0.5),
+            interpret=interpret)
+        return out.reshape(B, 1, Hq * Dh)
+    return attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
+                      slopes, sliding)

@@ -172,6 +172,23 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret):
     )(*operands)
 
 
+def qmatmul_native(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
+    """XLA path for native int4/uint4 code planes: the int4→bf16 convert and
+    per-group scaling fuse into the matmul operand read (TPU hardware int4
+    convert — faster than VPU shift/mask unpacking for decode)."""
+    out_dtype = out_dtype or x.dtype
+    K, N = qt.K, qt.N
+    g = qt.group_size
+    codes = qt.planes[0]
+    wf = codes.astype(jnp.bfloat16).reshape(K // g, g, N)
+    if qt.zeros is not None:
+        wf = wf - qt.zeros.astype(jnp.bfloat16)[:, None, :]
+    wf = wf * qt.scales.astype(jnp.bfloat16)[:, None, :]
+    out = jnp.dot(x.astype(jnp.bfloat16), wf.reshape(K, N),
+                  preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
+
+
 def qmatmul_xla(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
     """XLA fallback: dequantize then matmul in bf16 (XLA fuses the dequant
     into the matmul operand read where it can). Used on CPU and for shapes
@@ -228,6 +245,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
     if qt.perm is not None:
         x2 = jnp.take(x2, qt.perm, axis=1)
     M = x2.shape[0]
+
+    if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+        return qmatmul_native(x2, qt, out_dtype).reshape(*lead, qt.N)
 
     backend = jax.default_backend()
     use_pallas = force != "xla" and (backend == "tpu" or interpret

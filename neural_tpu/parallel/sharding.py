@@ -120,9 +120,10 @@ def param_specs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
 
 
 def cache_specs() -> P:
-    """KV cache [L, B, S, Hkv, Dh]: batch over dp, kv-heads over tp
-    (reference analog: kv_cache heads_kv /= world_size, model_utils.cpp:70)."""
-    return P(None, "dp", None, "tp", None)
+    """KV cache [L, B, Hkv, S, Dh] (and scales [L, B, Hkv, 8, S]): batch
+    over dp, kv-heads over tp (reference analog: kv_cache heads_kv /=
+    world_size, model_utils.cpp:70)."""
+    return P(None, "dp", "tp", None, None)
 
 
 def _to_sharding(mesh: Mesh, spec_tree):
@@ -143,7 +144,8 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
 
 def shard_cache(cache, mesh: Mesh):
     s = NamedSharding(mesh, cache_specs())
-    return tuple(jax.device_put(c, s) for c in cache)
+    return type(cache)(*(None if c is None else jax.device_put(c, s)
+                         for c in cache))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

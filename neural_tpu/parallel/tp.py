@@ -42,12 +42,14 @@ def make_tp_step(params, cfg: ModelConfig, mesh: Mesh, donate_cache=True):
     """
     pspecs = _aux_specs(params, cfg)
 
+    from ..runtime.kvcache import KVCache
+    cs = cache_specs()
+    cache_tree = KVCache(cs, cs, cs, cs)
     fn = shard_map(
         partial(forward, cfg=cfg, tp_axis="tp"),
         mesh=mesh,
-        in_specs=(pspecs, P("dp", None), P("dp"),
-                  (cache_specs(), cache_specs())),
-        out_specs=(P("dp", None, None), (cache_specs(), cache_specs())),
+        in_specs=(pspecs, P("dp", None), P("dp"), cache_tree),
+        out_specs=(P("dp", None, None), cache_tree),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(3,) if donate_cache else ())

@@ -16,10 +16,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.qtensor import QTensor, to_native
 from ..models.config import ModelConfig
 from ..models.transformer import forward
 from .kvcache import init_cache
 from .sampling import SamplingParams, SamplerState, sample
+
+
+def prepare_params(params, native: bool = False, unroll: bool = False):
+    """Decode-loop preparation, called INSIDE the jit before the step scan:
+
+    1. convert 4-bit QTensors to native int4 codes (XLA's hardware int4→bf16
+       convert fused into the matmul beats VPU shift/mask unpacking), and
+    2. unstack the layer dict into per-layer tuples so the decode steps read
+       loop-invariant whole weight buffers (a lax.scan over stacked weights
+       re-materializes a sliced copy every step before each Pallas call).
+
+    Both run once per jit invocation and hoist out of the decode scan.
+    Measured on v5e (7B int4, S=2048): scan+packed-Pallas 27.9 ms/tok,
+    native-int4 in scan 34 (int4 slice copies), unrolled-native 29 — so
+    both transforms default OFF until the decode path is profiled properly.
+    """
+    if native:
+        params = jax.tree.map(
+            lambda l: to_native(l) if isinstance(l, QTensor) else l,
+            params, is_leaf=lambda l: isinstance(l, QTensor))
+    if unroll and not isinstance(params["layers"], (list, tuple)):
+        layers = params["layers"]
+        L = jax.tree.leaves(layers)[0].shape[0]
+        params = dict(params)
+        params["layers"] = tuple(
+            jax.tree.map(lambda a: a[l], layers) for l in range(L))
+    return params
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -99,6 +127,8 @@ def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int):
     pos [B] → (tokens [n_steps, B], final cache). This is the production
     decode path and the benchmark unit.
     """
+    params = prepare_params(params)
+
     def body(carry, _):
         token, pos, cache = carry
         logits, cache = forward(params, token, pos, cache, cfg,
@@ -120,6 +150,7 @@ def sample_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
     tokens for penalties (a ring updated on-device)."""
     B = token.shape[0]
     state = SamplerState.init(B, sampling)
+    params = prepare_params(params)
 
     def body(carry, key):
         token, pos, cache, state, history = carry

@@ -1,0 +1,4 @@
+from .scheduler import Scheduler, Sequence, SeqStatus
+from .server import ModelServer, Query
+
+__all__ = ["Scheduler", "Sequence", "SeqStatus", "ModelServer", "Query"]

@@ -1,0 +1,218 @@
+"""Iteration-level continuous batching (ORCA-style).
+
+TPU-native redesign of the reference serving stack
+(neural_speed/models/model_utils/scheduler.{h,cpp}: ``Cont_batch_gen_scheduler``
+FCFS admission + ``Cont_batch_gen_worker`` mixed prefill/decode steps +
+``steps_decoding_for_next_prefill`` deferral, pool.h sequence pools).
+
+Static-shape design for XLA: a fixed pool of B cache slots; prompts prefill
+into ONE slot at a time with bucketed lengths (pad to the next bucket →
+bounded compile count), decode advances ALL active slots in a single [B, 1]
+step. The KV cache is one shared [L, B, Hkv, S, Dh] buffer; per-slot
+lengths select valid keys via the attention mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from enum import Enum
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.transformer import forward
+from ..runtime.kvcache import KVCache, init_cache
+from ..runtime.sampling import SamplingParams, SamplerState, sample
+from ..runtime.generate import prepare_params
+
+
+class SeqStatus(Enum):
+    # reference: seq_status (pool.h:22)
+    WAITING = 0
+    PREFILL = 1
+    DECODING = 2
+    FINISHED = 3
+
+
+@dataclasses.dataclass
+class Sequence:
+    """reference: sequence (pool.h:43)."""
+    request_id: str
+    prompt_ids: List[int]
+    max_new_tokens: int = 128
+    status: SeqStatus = SeqStatus.WAITING
+    slot: int = -1
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    receive_time: float = dataclasses.field(default_factory=time.time)
+    first_token_time: Optional[float] = None
+    end_time: Optional[float] = None
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
+
+
+@partial(jax.jit, static_argnames=("cfg", "T"), donate_argnums=(2,))
+def _prefill_slot(params, tokens, cache: KVCache, slot, cfg: ModelConfig,
+                  T: int):
+    """Prefill one sequence into cache slot ``slot``. tokens [1, T] padded
+    on the RIGHT; returns last-real-token logits and the updated cache.
+    Writes only slot rows (batch-sliced views keep other slots intact)."""
+    params = prepare_params(params)
+    sub = KVCache(*(None if c is None else
+                    jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1)
+                    for c in cache))
+    logits, sub = forward(params, tokens, jnp.zeros((1,), jnp.int32), sub,
+                          cfg)
+    cache = KVCache(*(None if c is None else
+                      jax.lax.dynamic_update_slice_in_dim(c, s, slot, axis=1)
+                      for c, s in zip(cache, sub)))
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _decode_all(params, tokens, lengths, cache: KVCache, cfg: ModelConfig):
+    """One decode step for every slot: tokens [B, 1] at offsets lengths [B].
+    Inactive slots still compute (static shapes) — their outputs are ignored
+    and their cache rows overwritten on next prefill."""
+    params = prepare_params(params)
+    logits, cache = forward(params, tokens, lengths, cache, cfg)
+    return logits[:, -1], cache
+
+
+class Scheduler:
+    """FCFS continuous-batching scheduler (reference scheduler.cpp:278).
+
+    Usage: add_request(...) any time; step() runs one iteration (one
+    prefill admission OR one batched decode); poll finished sequences
+    with pop_finished().
+    """
+
+    def __init__(self, params, cfg: ModelConfig, max_batch: int = 8,
+                 max_len: int = 2048,
+                 sampling: Optional[SamplingParams] = None,
+                 kv_dtype=jnp.bfloat16, seed: int = 0,
+                 prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512,
+                                                  1024, 2048)):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.sampling = sampling or SamplingParams(greedy=True)
+        self.cache = init_cache(cfg, max_batch, max_len, kv_dtype)
+        self.lengths = np.zeros(max_batch, np.int64)
+        self.buckets = [b for b in prefill_buckets if b <= max_len]
+        self.waiting: deque[Sequence] = deque()
+        self.running: Dict[int, Sequence] = {}     # slot → seq
+        self.finished: List[Sequence] = []
+        self.free_slots = list(range(max_batch))[::-1]
+        self.key = jax.random.PRNGKey(seed)
+        self.state = SamplerState.init(max_batch, self.sampling)
+        self._next_tokens = np.zeros(max_batch, np.int64)
+        self.steps_decoding_for_next_prefill = 0  # reference scheduler.cpp:355
+
+    # -- client API ---------------------------------------------------------
+    def add_request(self, request_id: str, prompt_ids: Sequence[int],
+                    max_new_tokens: int = 128):
+        assert len(prompt_ids) + max_new_tokens <= self.max_len, \
+            "request exceeds max_len"
+        self.waiting.append(Sequence(request_id, list(prompt_ids),
+                                     max_new_tokens))
+
+    def pop_finished(self) -> List[Sequence]:
+        out, self.finished = self.finished, []
+        return out
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    # -- one scheduling iteration (reference scheduler.cpp:369 step) --------
+    def step(self):
+        admitted = False
+        # admit one waiting request if a slot is free and we are not in a
+        # forced decode-only phase (prefill-defer policy)
+        if (self.waiting and self.free_slots
+                and self.steps_decoding_for_next_prefill == 0):
+            seq = self.waiting.popleft()
+            self._prefill(seq)
+            admitted = True
+        if not admitted and self.running:
+            self._decode_step()
+            if self.steps_decoding_for_next_prefill > 0:
+                self.steps_decoding_for_next_prefill -= 1
+        if self.waiting and not self.free_slots:
+            # pool full: decode-only until a slot frees
+            self.steps_decoding_for_next_prefill = max(
+                1, self.steps_decoding_for_next_prefill)
+
+    def run_to_completion(self):
+        while self.has_work:
+            self.step()
+        return self.pop_finished()
+
+    # -- internals ----------------------------------------------------------
+    def _sample_one(self, logits_row, seq: Sequence):
+        self.key, sub = jax.random.split(self.key)
+        hist = (seq.prompt_ids + seq.output_ids)[-self.sampling.repeat_last_n:]
+        tok, _ = sample(logits_row[None], sub, self.sampling,
+                        prev_tokens=jnp.asarray([hist], jnp.int32))
+        return int(tok[0])
+
+    def _prefill(self, seq: Sequence):
+        slot = self.free_slots.pop()
+        T = len(seq.prompt_ids)
+        Tb = _bucket(T, self.buckets)
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :T] = seq.prompt_ids
+        logits, self.cache = _prefill_slot(
+            self.params, jnp.asarray(toks), self.cache,
+            jnp.int32(slot), self.cfg, Tb)
+        # NOTE: padded positions T..Tb wrote garbage keys at those offsets;
+        # they are masked out because lengths[slot] = T keeps the decode
+        # attention window at < T... but the pad keys ARE below T? No: pads
+        # sit at positions T..Tb-1 which are >= lengths until real tokens
+        # reach them, at which point they are overwritten. Safe.
+        self.lengths[slot] = T
+        tok = self._sample_one(logits[0, T - 1], seq)
+        seq.output_ids.append(tok)
+        seq.first_token_time = time.time()
+        seq.status = SeqStatus.DECODING
+        seq.slot = slot
+        self.running[slot] = seq
+        self._next_tokens[slot] = tok
+        self._maybe_finish(seq)
+
+    def _decode_step(self):
+        toks = jnp.asarray(self._next_tokens[:, None].astype(np.int32))
+        lens = jnp.asarray(self.lengths.astype(np.int32))
+        logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
+                                         self.cfg)
+        logits = np.asarray(logits, np.float32)
+        for slot, seq in list(self.running.items()):
+            self.lengths[slot] += 1
+            tok = self._sample_one(jnp.asarray(logits[slot]), seq)
+            seq.output_ids.append(tok)
+            self._next_tokens[slot] = tok
+            self._maybe_finish(seq)
+
+    def _maybe_finish(self, seq: Sequence):
+        done = (len(seq.output_ids) >= seq.max_new_tokens
+                or seq.output_ids[-1] == self.cfg.eos_token_id
+                or self.lengths[seq.slot] + 1 >= self.max_len)
+        if done:
+            seq.status = SeqStatus.FINISHED
+            seq.end_time = time.time()
+            self.finished.append(seq)
+            if seq.slot in self.running:
+                del self.running[seq.slot]
+            self.free_slots.append(seq.slot)
+            self.lengths[seq.slot] = 0
