@@ -1,0 +1,161 @@
+"""GPTQ / AWQ quantized-checkpoint import.
+
+Reference: neural_speed/convert/convert_quantized_llama.py:31-101 — unpack
+qweight/qzeros/scales, undo g_idx act-order, repack (np_bestla_qpack).
+Here the unpacked weights repack losslessly into QTensor: act-order becomes
+the QTensor ``perm`` (activations are gathered at matmul time), zeros
+become per-group uint8 zero-points.
+
+Conventions implemented:
+- GPTQ (AutoGPTQ v1): qweight int32 [K/8, N], 8 nibbles per word along K
+  (LSB-first); qzeros int32 [G, N/8], nibbles along N, stored as z-1
+  (``zero_plus_one``); scales [G, N] f16; optional g_idx [K] for
+  act-order.
+- AWQ (GEMM kernels): qweight int32 [K, N/8], nibbles along N in the
+  interleaved order (0,2,4,6,1,3,5,7); qzeros [G, N/8] same packing, no
+  +1; scales [G, N].
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import QuantConfig
+from ..core.qtensor import QTensor, pack_codes
+
+AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def unpack_int32_nibbles(x: np.ndarray, axis: int,
+                         order: Optional[np.ndarray] = None) -> np.ndarray:
+    """int32 array → uint8 nibbles expanded 8x along ``axis`` (LSB first,
+    optionally permuted by ``order``)."""
+    x = x.astype(np.uint32)
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    if order is not None:
+        shifts = shifts[np.argsort(order)]  # logical position j ← nibble
+    nib = (x[..., None] >> shifts) & 0xF    # [..., 8]
+    nib = np.moveaxis(nib, -1, axis + 1 if axis >= 0 else axis)
+    shape = list(x.shape)
+    shape[axis] *= 8
+    return nib.reshape(shape).astype(np.uint8)
+
+
+def gptq_layer_to_qtensor(qweight: np.ndarray, qzeros: np.ndarray,
+                          scales: np.ndarray, g_idx: Optional[np.ndarray],
+                          bits: int = 4, zero_plus_one: bool = True,
+                          fmt: str = "gptq") -> QTensor:
+    """One quantized linear → QTensor ([K, N], groups along K)."""
+    assert bits == 4, "only 4-bit GPTQ/AWQ import supported"
+    if fmt == "gptq":
+        codes = unpack_int32_nibbles(qweight, axis=0)          # [K, N]
+        zeros = unpack_int32_nibbles(qzeros, axis=1)           # [G, N]
+    elif fmt == "awq":
+        codes = unpack_int32_nibbles(qweight, axis=1, order=AWQ_ORDER)
+        zeros = unpack_int32_nibbles(qzeros, axis=1, order=AWQ_ORDER)
+    else:
+        raise ValueError(fmt)
+    if zero_plus_one:
+        zeros = (zeros.astype(np.int32) + 1).astype(np.uint8)
+    K, N = codes.shape
+    G = scales.shape[0]
+    g = K // G
+    scales = scales.astype(np.float32)
+
+    perm = None
+    if g_idx is not None:
+        g_idx = np.asarray(g_idx, np.int64)
+        if not np.array_equal(g_idx, np.arange(K) // g):
+            # act-order: sort rows so groups are contiguous; record the
+            # permutation (stored rows = W[perm]; x gathered at matmul)
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            codes = codes[perm]
+            assert np.array_equal(g_idx[perm], np.arange(K) // g), \
+                "g_idx groups are not uniformly sized"
+
+    cfg = QuantConfig(bits=4, kind="int", group_size=g, sym=False)
+    planes = pack_codes(jnp.asarray(codes), 4, g)
+    return QTensor(planes, jnp.asarray(scales), jnp.asarray(zeros),
+                   None if perm is None else jnp.asarray(perm), cfg)
+
+
+def gptq_reference_dequant(qweight, qzeros, scales, g_idx=None, bits=4,
+                           zero_plus_one=True, fmt="gptq") -> np.ndarray:
+    """Independent numpy dequantization (the published GPTQ formula:
+    w[k, n] = (q[k, n] - z[g(k), n]) * s[g(k), n]) — test oracle."""
+    if fmt == "gptq":
+        codes = unpack_int32_nibbles(qweight, axis=0)
+        zeros = unpack_int32_nibbles(qzeros, axis=1)
+    else:
+        codes = unpack_int32_nibbles(qweight, axis=1, order=AWQ_ORDER)
+        zeros = unpack_int32_nibbles(qzeros, axis=1, order=AWQ_ORDER)
+    if zero_plus_one:
+        zeros = zeros.astype(np.int32) + 1
+    K, N = codes.shape
+    G = scales.shape[0]
+    g = K // G
+    gk = g_idx if g_idx is not None else np.arange(K) // g
+    return ((codes.astype(np.float32) - zeros[gk].astype(np.float32))
+            * scales[gk].astype(np.float32))
+
+
+# HF module-name suffix → our layer-param name (llama family; other
+# families reuse their fp maps since GPTQ checkpoints keep HF names).
+_GPTQ_SUFFIX = {
+    "self_attn.q_proj": "wq", "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv", "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "w_gate", "mlp.up_proj": "w_up",
+    "mlp.down_proj": "w_down",
+}
+
+
+def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
+                                fmt: str = "gptq", bits: int = 4,
+                                zero_plus_one: Optional[bool] = None,
+                                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """A GPTQ/AWQ llama-family HF state dict → params pytree.
+
+    ``sd`` values are numpy (caller converts torch tensors). Non-quantized
+    tensors (norms, embeddings, lm_head) pass through as in the fp path.
+    """
+    from .hf import _add_aux
+    if zero_plus_one is None:
+        zero_plus_one = fmt == "gptq"
+
+    per_layer: Dict[str, list] = {}
+    norms: Dict[str, list] = {"attn_norm_w": [], "ffn_norm_w": []}
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        for suffix, ours in _GPTQ_SUFFIX.items():
+            base = p + suffix + "."
+            qt = gptq_layer_to_qtensor(
+                np.asarray(sd[base + "qweight"]),
+                np.asarray(sd[base + "qzeros"]),
+                np.asarray(sd[base + "scales"]),
+                np.asarray(sd[base + "g_idx"]) if base + "g_idx" in sd
+                else None,
+                bits=bits, zero_plus_one=zero_plus_one, fmt=fmt)
+            per_layer.setdefault(ours, []).append(qt)
+        norms["attn_norm_w"].append(
+            np.asarray(sd[p + "input_layernorm.weight"], np.float32))
+        norms["ffn_norm_w"].append(
+            np.asarray(sd[p + "post_attention_layernorm.weight"], np.float32))
+
+    layers = {n: jax.tree.map(lambda *xs: jnp.stack(xs), *v)
+              for n, v in per_layer.items()}
+    layers.update({n: jnp.asarray(np.stack(v)) for n, v in norms.items()})
+    params: Dict[str, Any] = {
+        "layers": layers,
+        "embed": jnp.asarray(np.asarray(sd["model.embed_tokens.weight"]),
+                             dtype),
+        "final_norm_w": jnp.asarray(np.asarray(sd["model.norm.weight"]),
+                                    jnp.float32),
+    }
+    if "lm_head.weight" in sd:
+        params["lm_head"] = jnp.asarray(
+            np.asarray(sd["lm_head.weight"]).T, dtype)
+    _add_aux(params, cfg)
+    return params

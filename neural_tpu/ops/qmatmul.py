@@ -76,8 +76,11 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
     G = TK // group_size
     vg = vals.reshape(G, group_size, TN)
     if cfg.kind == "int" and not cfg.sym and cfg.bits != 1:
-        # uint8 -> i32 -> f32: Mosaic has no direct u8->f32 cast.
-        zf = zeros_tile.astype(jnp.int32).astype(jnp.float32)
+        if zeros_tile.dtype == jnp.uint8:
+            # uint8 -> i32 -> f32: Mosaic has no direct u8->f32 cast.
+            zf = zeros_tile.astype(jnp.int32).astype(jnp.float32)
+        else:  # float zero-points (GGUF Q4_1/Q5_1 style: w = q*d + m)
+            zf = zeros_tile.astype(jnp.float32)
         vg = vg - zf[:, None, :]
     w = vg * scales_tile.astype(jnp.float32)[:, None, :]
     return w.reshape(TK, TN).astype(out_dtype)
@@ -242,12 +245,17 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
     *lead, K = x.shape
     assert K == qt.K, (K, qt.shape)
     x2 = x.reshape(-1, K)
-    if qt.perm is not None:
-        x2 = jnp.take(x2, qt.perm, axis=1)
     M = x2.shape[0]
 
+    def gathered(x2):
+        # act-order: stored weight rows are W[perm] → gather x to match.
+        # Only for paths that consume the STORED row order; the XLA
+        # fallback goes through dequantize(), which un-permutes itself.
+        return x2 if qt.perm is None else jnp.take(x2, qt.perm, axis=1)
+
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
-        return qmatmul_native(x2, qt, out_dtype).reshape(*lead, qt.N)
+        return qmatmul_native(gathered(x2), qt, out_dtype).reshape(
+            *lead, qt.N)
 
     backend = jax.default_backend()
     use_pallas = force != "xla" and (backend == "tpu" or interpret
@@ -256,8 +264,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
              if use_pallas else None)
     if tiles is not None:
         tm = tiles[0]
+        x2g = gathered(x2)
         Mp = _round_up(max(M, tm), tm)
-        xp = jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+        xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
         out = _qmatmul_pallas(xp.astype(jnp.bfloat16), qt, *tiles,
                               out_dtype=out_dtype, interpret=interpret)
         if Mp != M:
