@@ -9,3 +9,17 @@ shift-RoPE, continuous batching, and GSPMD tensor parallelism.
 __version__ = "0.1.0"
 
 from .core import QuantConfig, QTensor, quantize, dequantize, PRESETS
+from .api import Model
+from .models.config import ModelConfig
+from .runtime.sampling import SamplingParams
+
+
+def __getattr__(name):
+    # lazy: serving pulls in threading machinery
+    if name == "ModelServer":
+        from .serving import ModelServer
+        return ModelServer
+    if name == "Query":
+        from .serving import Query
+        return Query
+    raise AttributeError(name)
