@@ -61,11 +61,21 @@ def _get(sd, name, transpose):
     return w.T if transpose else w
 
 
+def _quantize_one(w, qcfg: QuantConfig):
+    """One [K, N] weight → QTensor; multithreaded C++ codec when available
+    (reference analog: BTLAGemmQuantPackB, core/layers/bestla_gemm.cpp)."""
+    if qcfg.kind == "int":
+        from .. import native
+        if native.available():
+            return native.quantize_qtensor(np.asarray(w, np.float32), qcfg)
+    return quantize(jnp.asarray(w), qcfg)
+
+
 def _stack_quantize(ws, qcfg: Optional[QuantConfig], dtype):
     """[L(,E),K,N] numpy → stacked QTensor pytree or plain jnp array."""
     if qcfg is None:
         return jnp.asarray(np.stack(ws), dtype)
-    qts = [quantize(jnp.asarray(w), qcfg) for w in ws]
+    qts = [_quantize_one(w, qcfg) for w in ws]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
 
 
@@ -116,7 +126,7 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
     for n, (hf_name, tr) in mod.hf_top_map(cfg).items():
         w = _get(sd, hf_name, tr)
         if n == "lm_head" and qcfg is not None and "lm_head" in quant_names:
-            params[n] = quantize(jnp.asarray(w), qcfg)
+            params[n] = _quantize_one(w, qcfg)
         elif n in ("embed", "pos_embed"):
             params[n] = jnp.asarray(w, dtype)
         else:
