@@ -1,0 +1,349 @@
+"""Whisper speech-to-text: encoder-decoder with cross-attention.
+
+Reference: neural_speed/models/whisper/ (whisper.cpp port, 12k LoC: mel
+frontend, conv stem, encoder, decoder with cross-attention, greedy
+transcribe). Here the whole family is one functional module reusing the
+framework's ops; weights map from HF WhisperForConditionalGeneration.
+
+Structure (matches OpenAI Whisper):
+- frontend: log-mel spectrogram (80/128 mels, n_fft=400, hop=160)
+- encoder: gelu(conv1 k3 s1) → gelu(conv2 k3 s2) → +sinusoidal positions →
+  pre-LN transformer → final LN
+- decoder: token+learned-position embeddings → pre-LN transformer blocks
+  with causal self-attention (KV cache) AND cross-attention over the
+  encoder output (K/V computed once per utterance) → final LN → tied
+  logits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.norms import layer_norm
+from .transformer import linear
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    vocab_size: int = 51865
+    d_model: int = 384
+    n_heads: int = 6
+    enc_layers: int = 4
+    dec_layers: int = 4
+    n_mels: int = 80
+    n_audio_ctx: int = 1500         # encoder positions (30s / 2 / 10ms)
+    n_text_ctx: int = 448
+    ffn_dim: int = 1536
+    eos_token_id: int = 50257
+    sot_token_id: int = 50258
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.n_heads
+
+
+def config_from_hf(c) -> WhisperConfig:
+    return WhisperConfig(
+        vocab_size=c.vocab_size, d_model=c.d_model,
+        n_heads=c.encoder_attention_heads,
+        enc_layers=c.encoder_layers, dec_layers=c.decoder_layers,
+        n_mels=c.num_mel_bins, n_audio_ctx=c.max_source_positions,
+        n_text_ctx=c.max_target_positions, ffn_dim=c.encoder_ffn_dim,
+        eos_token_id=c.eos_token_id,
+        sot_token_id=getattr(c, "decoder_start_token_id", 50258))
+
+
+# ---------------------------------------------------------------------------
+# audio frontend (reference: whisper.cpp log_mel_spectrogram)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE, N_FFT, HOP = 16000, 400, 160
+
+
+def mel_filterbank(n_mels: int = 80, n_fft: int = N_FFT,
+                   sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Slaney-style mel filter matrix [n_mels, n_fft//2+1] (librosa/HF
+    WhisperFeatureExtractor equivalent)."""
+    def hz_to_mel(f):
+        f = np.asarray(f, np.float64)
+        mel = 3.0 * f / 200.0
+        log_region = f >= 1000.0
+        mel = np.where(log_region,
+                       15.0 + np.log(np.maximum(f, 1e-9) / 1000.0)
+                       / np.log(6.4) * 27.0, mel)
+        return mel
+
+    def mel_to_hz(m):
+        m = np.asarray(m, np.float64)
+        f = 200.0 * m / 3.0
+        log_region = m >= 15.0
+        f = np.where(log_region, 1000.0 * np.exp(np.log(6.4) *
+                                                 (m - 15.0) / 27.0), f)
+        return f
+
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0),
+                                    n_mels + 2))
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, ce, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        up = (fft_freqs - lo) / max(ce - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - ce, 1e-9)
+        fb[i] = np.maximum(0, np.minimum(up, down))
+        fb[i] *= 2.0 / (hi - lo)          # Slaney normalization
+    return fb.astype(np.float32)
+
+
+def log_mel_spectrogram(audio: np.ndarray, n_mels: int = 80,
+                        pad_to: Optional[int] = 3000) -> np.ndarray:
+    """f32 audio [n] @16kHz → log-mel [n_mels, frames] (matches the HF
+    WhisperFeatureExtractor pipeline)."""
+    audio = np.asarray(audio, np.float32)
+    if pad_to is not None:
+        target = pad_to * HOP
+        audio = audio[:target]
+        audio = np.pad(audio, (0, max(0, target - len(audio))))
+    window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+    pad = N_FFT // 2
+    x = np.pad(audio, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - N_FFT) // HOP
+    frames = np.lib.stride_tricks.as_strided(
+        x, (n_frames, N_FFT), (x.strides[0] * HOP, x.strides[0]))
+    stft = np.fft.rfft(frames * window, axis=-1)
+    power = np.abs(stft[:-1]) ** 2            # drop last frame like whisper
+    mel = mel_filterbank(n_mels) @ power.T    # [n_mels, frames]
+    logm = np.log10(np.maximum(mel, 1e-10))
+    logm = np.maximum(logm, logm.max() - 8.0)
+    return ((logm + 4.0) / 4.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder graphs
+# ---------------------------------------------------------------------------
+
+
+def _mha(q, k, v, n_heads: int, causal_len: Optional[jnp.ndarray] = None,
+         q_pos: Optional[jnp.ndarray] = None):
+    """Plain multi-head attention. q [B,T,D], k/v [B,S,D]. Masking: if
+    causal_len given, key s valid iff s <= q_pos (absolute positions)."""
+    B, T, D = q.shape
+    S = k.shape[1]
+    H = n_heads
+    Dh = D // H
+    qh = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh.astype(jnp.float32),
+                        kh.astype(jnp.float32)) * (Dh ** -0.5)
+    if q_pos is not None:
+        s_idx = jnp.arange(S)[None, None, :]
+        mask = s_idx <= q_pos[:, :, None]
+        scores = jnp.where(mask[:, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", probs, vh.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3).reshape(B, T, D).astype(q.dtype)
+
+
+def _attn_proj(x, lp, prefix):
+    q = linear(x, lp[f"{prefix}_wq"], lp.get(f"{prefix}_bq"))
+    k = linear(x, lp[f"{prefix}_wk"])                # whisper: k has no bias
+    v = linear(x, lp[f"{prefix}_wv"], lp.get(f"{prefix}_bv"))
+    return q, k, v
+
+
+def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig):
+    """mel [B, n_mels, 3000] → encoder states [B, 1500, D]."""
+    x = mel.astype(jnp.float32)
+    # conv1: k=3 s=1 p=1 ; conv2: k=3 s=2 p=1  (channels-first weights
+    # [out, in, k] like torch)
+    x = jax.lax.conv_general_dilated(
+        x, params["conv1_w"], (1,), [(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    x = jax.nn.gelu(x + params["conv1_b"][None, :, None], approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, params["conv2_w"], (2,), [(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    x = jax.nn.gelu(x + params["conv2_b"][None, :, None], approximate=False)
+    x = x.transpose(0, 2, 1)                        # [B, T, D]
+    x = x + params["enc_pos"][None, : x.shape[1]]
+
+    def block(x, lp):
+        h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+        q, k, v = _attn_proj(h, lp, "attn")
+        a = _mha(q, k, v, cfg.n_heads)
+        x = x + linear(a, lp["attn_wo"], lp["attn_bo"])
+        h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        h = jax.nn.gelu(linear(h, lp["fc1_w"], lp["fc1_b"]),
+                        approximate=False)
+        x = x + linear(h, lp["fc2_w"], lp["fc2_b"])
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["enc_layers"])
+    return layer_norm(x, params["enc_ln_w"], params["enc_ln_b"])
+
+
+def init_decoder_state(params: Params, enc_out: jnp.ndarray,
+                       cfg: WhisperConfig, max_len: Optional[int] = None):
+    """Precompute per-layer cross-attention K/V (once per utterance —
+    reference: whisper.cpp cross-attn kv precompute) and allocate the
+    self-attention cache."""
+    B, Tenc, D = enc_out.shape
+    S = max_len or cfg.n_text_ctx
+
+    def cross_kv(lp):
+        k = linear(enc_out, lp["cross_wk"])
+        v = linear(enc_out, lp["cross_wv"], lp.get("cross_bv"))
+        return k, v
+
+    cross_k, cross_v = jax.lax.map(cross_kv, params["dec_layers"])
+    self_k = jnp.zeros((cfg.dec_layers, B, S, D), jnp.float32)
+    self_v = jnp.zeros((cfg.dec_layers, B, S, D), jnp.float32)
+    return {"cross_k": cross_k, "cross_v": cross_v,
+            "self_k": self_k, "self_v": self_v}
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def decode_step(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
+                state, cfg: WhisperConfig):
+    """tokens [B, T] at positions start[B]..start+T → (logits, state)."""
+    B, T = tokens.shape
+    positions = start[:, None] + jnp.arange(T)[None, :]
+    x = jnp.take(params["dec_embed"], tokens, axis=0).astype(jnp.float32)
+    x = x + jnp.take(params["dec_pos"], positions, axis=0)
+
+    def block(carry, layer):
+        x = carry
+        lp, ck, cv, sk, sv = layer
+        h = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+        q, k, v = _attn_proj(h, lp, "attn")
+
+        def upd(cache, new, s0):
+            return jax.lax.dynamic_update_slice(cache, new, (s0, 0))
+        sk = jax.vmap(upd)(sk, k.astype(sk.dtype), start)
+        sv = jax.vmap(upd)(sv, v.astype(sv.dtype), start)
+        a = _mha(q, sk, sv, cfg.n_heads, q_pos=positions)
+        x = x + linear(a, lp["attn_wo"], lp["attn_bo"])
+
+        h = layer_norm(x, lp["ln_cross_w"], lp["ln_cross_b"])
+        qc = linear(h, lp["cross_wq"], lp.get("cross_bq"))
+        a = _mha(qc, ck, cv, cfg.n_heads)
+        x = x + linear(a, lp["cross_wo"], lp["cross_bo"])
+
+        h = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        h = jax.nn.gelu(linear(h, lp["fc1_w"], lp["fc1_b"]),
+                        approximate=False)
+        x = x + linear(h, lp["fc2_w"], lp["fc2_b"])
+        return x, (sk, sv)
+
+    x, (self_k, self_v) = jax.lax.scan(
+        block, x, (params["dec_layers"], state["cross_k"], state["cross_v"],
+                   state["self_k"], state["self_v"]))
+    x = layer_norm(x, params["dec_ln_w"], params["dec_ln_b"])
+    logits = jnp.dot(x, params["dec_embed"].T.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    state = dict(state)
+    state["self_k"], state["self_v"] = self_k, self_v
+    return logits, state
+
+
+def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
+                   prompt_ids: Sequence[int], max_new_tokens: int = 64
+                   ) -> List[int]:
+    """Greedy decode (reference whisper_full greedy path). ``prompt_ids``
+    are the forced SOT/language/task tokens."""
+    enc = encode(params, jnp.asarray(mel)[None], cfg)
+    state = init_decoder_state(params, enc, cfg)
+    toks = jnp.asarray(np.asarray(prompt_ids, np.int32)[None, :])
+    logits, state = decode_step(params, toks, jnp.zeros((1,), jnp.int32),
+                                state, cfg)
+    out = list(prompt_ids)
+    nxt = int(jnp.argmax(logits[0, -1]))
+    out.append(nxt)
+    pos = len(prompt_ids)
+    for _ in range(max_new_tokens - 1):
+        if nxt == cfg.eos_token_id:
+            break
+        logits, state = decode_step(
+            params, jnp.asarray([[nxt]], jnp.int32),
+            jnp.asarray([pos], jnp.int32), state, cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        pos += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HF weight mapping
+# ---------------------------------------------------------------------------
+
+
+def params_from_hf(model, dtype=jnp.float32) -> Tuple[Params, WhisperConfig]:
+    cfg = config_from_hf(model.config)
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+
+    def g(name, transpose=False):
+        w = sd[name]
+        return jnp.asarray(w.T if transpose else w, dtype)
+
+    def attn_block(p, prefix, out):
+        out[f"{prefix}_wq"] = g(p + "q_proj.weight", True)
+        out[f"{prefix}_bq"] = g(p + "q_proj.bias")
+        out[f"{prefix}_wk"] = g(p + "k_proj.weight", True)
+        out[f"{prefix}_wv"] = g(p + "v_proj.weight", True)
+        out[f"{prefix}_bv"] = g(p + "v_proj.bias")
+        out[f"{prefix}_wo"] = g(p + "out_proj.weight", True)
+        out[f"{prefix}_bo"] = g(p + "out_proj.bias")
+
+    def enc_layer(i):
+        p = f"model.encoder.layers.{i}."
+        out = {
+            "ln1_w": g(p + "self_attn_layer_norm.weight"),
+            "ln1_b": g(p + "self_attn_layer_norm.bias"),
+            "ln2_w": g(p + "final_layer_norm.weight"),
+            "ln2_b": g(p + "final_layer_norm.bias"),
+            "fc1_w": g(p + "fc1.weight", True), "fc1_b": g(p + "fc1.bias"),
+            "fc2_w": g(p + "fc2.weight", True), "fc2_b": g(p + "fc2.bias"),
+        }
+        attn_block(p + "self_attn.", "attn", out)
+        return out
+
+    def dec_layer(i):
+        p = f"model.decoder.layers.{i}."
+        out = {
+            "ln1_w": g(p + "self_attn_layer_norm.weight"),
+            "ln1_b": g(p + "self_attn_layer_norm.bias"),
+            "ln_cross_w": g(p + "encoder_attn_layer_norm.weight"),
+            "ln_cross_b": g(p + "encoder_attn_layer_norm.bias"),
+            "ln2_w": g(p + "final_layer_norm.weight"),
+            "ln2_b": g(p + "final_layer_norm.bias"),
+            "fc1_w": g(p + "fc1.weight", True), "fc1_b": g(p + "fc1.bias"),
+            "fc2_w": g(p + "fc2.weight", True), "fc2_b": g(p + "fc2.bias"),
+        }
+        attn_block(p + "self_attn.", "attn", out)
+        attn_block(p + "encoder_attn.", "cross", out)
+        return out
+
+    stack = lambda ds: jax.tree.map(lambda *xs: jnp.stack(xs), *ds)
+    params: Params = {
+        "conv1_w": g("model.encoder.conv1.weight"),
+        "conv1_b": g("model.encoder.conv1.bias"),
+        "conv2_w": g("model.encoder.conv2.weight"),
+        "conv2_b": g("model.encoder.conv2.bias"),
+        "enc_pos": g("model.encoder.embed_positions.weight"),
+        "enc_ln_w": g("model.encoder.layer_norm.weight"),
+        "enc_ln_b": g("model.encoder.layer_norm.bias"),
+        "enc_layers": stack([enc_layer(i) for i in range(cfg.enc_layers)]),
+        "dec_embed": g("model.decoder.embed_tokens.weight"),
+        "dec_pos": g("model.decoder.embed_positions.weight"),
+        "dec_ln_w": g("model.decoder.layer_norm.weight"),
+        "dec_ln_b": g("model.decoder.layer_norm.bias"),
+        "dec_layers": stack([dec_layer(i) for i in range(cfg.dec_layers)]),
+    }
+    return params, cfg
