@@ -125,16 +125,19 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     return _psum(out, tp_axis).astype(x.dtype)
 
 
-def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
-               start, positions, inv_freqs, slopes, tp_axis=None,
+def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
+               lidx, start, positions, inv_freqs, slopes, tp_axis=None,
                sliding=None):
-    """x: [B, T, D]; k_cache/v_cache: [B, Hkv, S, Dh] (head-major, bf16 or
-    int8 with scales [B, Hkv, 8, S]); start: [B] int32.
+    """x: [B, T, D]; k_all/v_all: FULL stacked caches [L, B, Hkv, S, Dh]
+    (head-major, bf16 or int8 with scales [L, B, Hkv, 8, S]); ``lidx`` is
+    this layer's index; start: [B] int32.
 
     Mirrors the per-layer attention block of llama.cpp:217-592 (fused QKV →
     rope → KV append (ne_flash_attn_update_k/v) → fused attention → output
-    proj); the compute core dispatches to the Pallas flash-decode kernel or
-    the XLA reference in ops/attention.py.
+    proj). The caches are carried WHOLE and only the new tokens' slots are
+    written (16KB, not a rewrite of the layer's cache slice): under a
+    donated lax.scan carry XLA updates them in place, which is what keeps
+    decode HBM traffic at just the attention KV read.
     """
     B, T, D = x.shape
     Dh = cfg.head_dim
@@ -159,25 +162,36 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
         q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rope_dim)
         k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rope_dim)
 
-    # append to the head-major cache at per-batch offsets
+    # append ONLY the new tokens to the full stacked cache at (lidx, b, :,
+    # start_b): per-batch vmap of a tiny dynamic_update_slice.
     kt = k.transpose(0, 2, 1, 3)                     # [B, Hkv, T, Dh]
     vt = v.transpose(0, 2, 1, 3)
-    if k_sc is not None:  # int8 KV (reference packed int8 KV layouts)
+    if ks_all is not None:  # int8 KV (reference packed int8 KV layouts)
         kt, ks_new = quantize_kv(kt)                 # scales [B, Hkv, T]
         vt, vs_new = quantize_kv(vt)
 
-        def upds(sc, new, s0):                        # sc [Hkv, 8, S]
-            rep = jnp.broadcast_to(new[:, None, :], (new.shape[0], 8,
-                                                     new.shape[1]))
-            return jax.lax.dynamic_update_slice(sc, rep, (0, 0, s0))
-        k_sc = jax.vmap(upds)(k_sc, ks_new, start)
-        v_sc = jax.vmap(upds)(v_sc, vs_new, start)
+        def upds(sc_b, new_b, s0):                    # sc_b [L, Hkv, 8, S]
+            rep = jnp.broadcast_to(new_b[:, None, :],
+                                   (new_b.shape[0], 8, new_b.shape[1]))
+            return jax.lax.dynamic_update_slice(sc_b, rep[None],
+                                                (lidx, 0, 0, s0))
+        ks_all = jax.vmap(upds, in_axes=(1, 0, 0), out_axes=1)(
+            ks_all, ks_new, start)
+        vs_all = jax.vmap(upds, in_axes=(1, 0, 0), out_axes=1)(
+            vs_all, vs_new, start)
 
-    def upd(cache, new, s0):
+    def upd(cache_b, new_b, s0):                      # cache_b [L,Hkv,S,Dh]
         return jax.lax.dynamic_update_slice(
-            cache, new.astype(cache.dtype), (0, s0, 0))
-    k_cache = jax.vmap(upd)(k_cache, kt, start)
-    v_cache = jax.vmap(upd)(v_cache, vt, start)
+            cache_b, new_b.astype(cache_b.dtype)[None], (lidx, 0, s0, 0))
+    k_all = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(k_all, kt, start)
+    v_all = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(v_all, vt, start)
+
+    k_cache = jax.lax.dynamic_index_in_dim(k_all, lidx, 0, keepdims=False)
+    v_cache = jax.lax.dynamic_index_in_dim(v_all, lidx, 0, keepdims=False)
+    k_sc = None if ks_all is None else \
+        jax.lax.dynamic_index_in_dim(ks_all, lidx, 0, keepdims=False)
+    v_sc = None if vs_all is None else \
+        jax.lax.dynamic_index_in_dim(vs_all, lidx, 0, keepdims=False)
 
     out = attend(q, k_cache, v_cache, k_sc, v_sc, positions, cfg,
                  slopes=slopes, sliding=sliding).astype(x.dtype)
@@ -187,14 +201,14 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
     out = _psum(out, tp_axis)
     if lp.get("bo") is not None:
         out = out + lp["bo"].astype(out.dtype)
-    return out, k_cache, v_cache, k_sc, v_sc
+    return out, k_all, v_all, ks_all, vs_all
 
 
-def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
-           start, positions, inv_freqs, slopes, tp_axis=None):
+def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
+           lidx, start, positions, inv_freqs, slopes, tp_axis=None):
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
-    attn_out, k_cache, v_cache, k_sc, v_sc = _attention(
-        h, lp, cfg, k_cache, v_cache, k_sc, v_sc, start, positions,
+    attn_out, k_all, v_all, ks_all, vs_all = _attention(
+        h, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start, positions,
         inv_freqs, slopes, tp_axis, sliding=lp.get("use_sliding"))
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
@@ -213,7 +227,7 @@ def _block(x, lp: Params, cfg: ModelConfig, k_cache, v_cache, k_sc, v_sc,
             mlp_out = _norm(mlp_out, lp["post_ffn_norm_w"],
                             lp.get("post_ffn_norm_b"), cfg)
         x = x + mlp_out
-    return x, k_cache, v_cache, k_sc, v_sc
+    return x, k_all, v_all, ks_all, vs_all
 
 
 def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
@@ -248,33 +262,30 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     inv_freqs = params.get("rope_inv_freqs")
     slopes = params.get("alibi_slopes")
 
+    # The caches travel in the scan CARRY (only the new tokens' slots are
+    # written each layer) — carrying them as per-layer xs/ys would stream
+    # the WHOLE cache through fresh buffers every step (GBs of HBM traffic
+    # per decoded token).
     def body(carry, layer):
-        x = carry
-        lp, kc, vc, ks, vs = layer
-        x, kc, vc, ks, vs = _block(x, lp, cfg, kc, vc, ks, vs, start,
-                                   positions, inv_freqs, slopes, tp_axis)
-        return x, (kc, vc, ks, vs)
+        x, k_all, v_all, ks_all, vs_all = carry
+        lp, lidx = layer
+        x, k_all, v_all, ks_all, vs_all = _block(
+            x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
+            positions, inv_freqs, slopes, tp_axis)
+        return (x, k_all, v_all, ks_all, vs_all), None
 
     if isinstance(params["layers"], (list, tuple)):
-        # unrolled layers (decode loops): weights are separate loop-invariant
-        # buffers, so Pallas kernels read them in place — a lax.scan over
-        # stacked weights would materialize a sliced copy per step.
-        new_k, new_v, new_ks, new_vs = [], [], [], []
+        # unrolled layers (opt-in decode mode): weights are separate
+        # loop-invariant buffers
         for l, lp in enumerate(params["layers"]):
-            x, kc, vc, ks, vs = _block(
-                x, lp, cfg, k_all[l], v_all[l],
-                None if ks_all is None else ks_all[l],
-                None if vs_all is None else vs_all[l],
-                start, positions, inv_freqs, slopes, tp_axis)
-            new_k.append(kc); new_v.append(vc)
-            new_ks.append(ks); new_vs.append(vs)
-        k_all = jnp.stack(new_k)
-        v_all = jnp.stack(new_v)
-        ks_all = None if ks_all is None else jnp.stack(new_ks)
-        vs_all = None if vs_all is None else jnp.stack(new_vs)
+            x, k_all, v_all, ks_all, vs_all = _block(
+                x, lp, cfg, k_all, v_all, ks_all, vs_all,
+                jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis)
     else:
-        x, (k_all, v_all, ks_all, vs_all) = jax.lax.scan(
-            body, x, (params["layers"], k_all, v_all, ks_all, vs_all))
+        L = jax.tree.leaves(params["layers"])[0].shape[0]
+        (x, k_all, v_all, ks_all, vs_all), _ = jax.lax.scan(
+            body, (x, k_all, v_all, ks_all, vs_all),
+            (params["layers"], jnp.arange(L)))
 
     if cfg.final_norm:
         x = _norm(x, params["final_norm_w"], params.get("final_norm_b"), cfg)
