@@ -38,11 +38,13 @@ from .config import ModelConfig
 Params = Dict[str, Any]
 
 
-def linear(x: jnp.ndarray, w, b=None, out_dtype=None) -> jnp.ndarray:
-    """Dispatch: QTensor → fused dequant matmul; array → plain MXU matmul."""
+def linear(x: jnp.ndarray, w, b=None, out_dtype=None,
+           lidx=None) -> jnp.ndarray:
+    """Dispatch: QTensor → fused dequant matmul (``lidx`` selects the layer
+    when w is a [L, ...] stack, streamed zero-copy); array → MXU matmul."""
     out_dtype = out_dtype or x.dtype
     if isinstance(w, QTensor):
-        y = qmatmul(x, w, out_dtype=out_dtype)
+        y = qmatmul(x, w, out_dtype=out_dtype, lidx=lidx)
     else:
         y = jnp.dot(x, w.astype(x.dtype),
                     preferred_element_type=jnp.float32).astype(out_dtype)
@@ -73,7 +75,7 @@ def _psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
-def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
+def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None, lidx=None):
     """Under shard_map TP, w_gate/w_up are column-split (local output slice)
     and w_down is row-split → the down-proj result is a partial sum, reduced
     here with one psum (the reference's post-FFN ne_all_reduce,
@@ -81,12 +83,12 @@ def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     if cfg.is_moe:
         return _moe_mlp(x, lp, cfg, tp_axis)
     if cfg.mlp_gated:
-        g = linear(x, lp["w_gate"], lp.get("b_gate"))
-        u = linear(x, lp["w_up"], lp.get("b_up"))
+        g = linear(x, lp["w_gate"], lp.get("b_gate"), lidx=lidx)
+        u = linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx)
         h = _act(g, cfg.act) * u
     else:
-        h = _act(linear(x, lp["w_up"], lp.get("b_up")), cfg.act)
-    down = linear(h, lp["w_down"])
+        h = _act(linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx), cfg.act)
+    down = linear(h, lp["w_down"], lidx=lidx)
     down = _psum(down, tp_axis)
     if lp.get("b_down") is not None:
         down = down + lp["b_down"].astype(down.dtype)
@@ -142,9 +144,9 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     B, T, D = x.shape
     Dh = cfg.head_dim
 
-    q = linear(x, lp["wq"], lp.get("bq"))
-    k = linear(x, lp["wk"], lp.get("bk"))
-    v = linear(x, lp["wv"], lp.get("bv"))
+    q = linear(x, lp["wq"], lp.get("bq"), lidx=lidx)
+    k = linear(x, lp["wk"], lp.get("bk"), lidx=lidx)
+    v = linear(x, lp["wv"], lp.get("bv"), lidx=lidx)
     # head counts derived from (possibly TP-sharded) local widths: under
     # shard_map each rank holds n_heads/tp heads (reference analog:
     # llama.cpp:117-123 n_head /= world_size).
@@ -186,18 +188,13 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     k_all = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(k_all, kt, start)
     v_all = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(v_all, vt, start)
 
-    k_cache = jax.lax.dynamic_index_in_dim(k_all, lidx, 0, keepdims=False)
-    v_cache = jax.lax.dynamic_index_in_dim(v_all, lidx, 0, keepdims=False)
-    k_sc = None if ks_all is None else \
-        jax.lax.dynamic_index_in_dim(ks_all, lidx, 0, keepdims=False)
-    v_sc = None if vs_all is None else \
-        jax.lax.dynamic_index_in_dim(vs_all, lidx, 0, keepdims=False)
-
-    out = attend(q, k_cache, v_cache, k_sc, v_sc, positions, cfg,
-                 slopes=slopes, sliding=sliding).astype(x.dtype)
+    # caches stay STACKED: the Pallas decode kernel streams layer lidx
+    # directly; the XLA fallback slices inside attend (fused, no copy).
+    out = attend(q, k_all, v_all, ks_all, vs_all, positions, cfg,
+                 slopes=slopes, sliding=sliding, lidx=lidx).astype(x.dtype)
     # wo is row-split under TP → partial sums; one psum here is the
     # reference's post-attention ne_all_reduce (llama.cpp:592).
-    out = linear(out, lp["wo"])
+    out = linear(out, lp["wo"], lidx=lidx)
     out = _psum(out, tp_axis)
     if lp.get("bo") is not None:
         out = out + lp["bo"].astype(out.dtype)
@@ -218,11 +215,11 @@ def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         # gptj shares one norm (params tie attn/ffn norm at conversion).
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg) \
             if "ffn_norm_w" in lp else h
-        x = x + attn_out + _mlp(h2, lp, cfg, tp_axis)
+        x = x + attn_out + _mlp(h2, lp, cfg, tp_axis, lidx)
     else:
         x = x + attn_out
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg)
-        mlp_out = _mlp(h2, lp, cfg, tp_axis)
+        mlp_out = _mlp(h2, lp, cfg, tp_axis, lidx)
         if cfg.post_ffn_norm:
             mlp_out = _norm(mlp_out, lp["post_ffn_norm_w"],
                             lp.get("post_ffn_norm_b"), cfg)
@@ -263,16 +260,25 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     slopes = params.get("alibi_slopes")
 
     # The caches travel in the scan CARRY (only the new tokens' slots are
-    # written each layer) — carrying them as per-layer xs/ys would stream
-    # the WHOLE cache through fresh buffers every step (GBs of HBM traffic
-    # per decoded token).
-    def body(carry, layer):
-        x, k_all, v_all, ks_all, vs_all = carry
-        lp, lidx = layer
-        x, k_all, v_all, ks_all, vs_all = _block(
-            x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
-            positions, inv_freqs, slopes, tp_axis)
-        return (x, k_all, v_all, ks_all, vs_all), None
+    # written each layer). QTensor weights are NOT scan xs: they stay
+    # closed-over stacks and the Pallas kernel streams layer `lidx`
+    # directly from the stacked HBM buffers (scan xs slicing would
+    # materialize a full copy of every weight, every step — measured at
+    # ~9 ms/step on a 7B). Small per-layer leaves (norms, biases, flags)
+    # are sliced in-body; those slices fuse.
+    def make_lp(layers, lidx):
+        lp: Dict[str, Any] = {}
+        for name, v in layers.items():
+            if isinstance(v, QTensor):
+                lp[name] = v                       # stacked; lidx at matmul
+            elif isinstance(v, dict):              # experts subtree
+                lp[name] = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, lidx, 0, keepdims=False), v)
+            else:
+                lp[name] = jax.lax.dynamic_index_in_dim(
+                    v, lidx, 0, keepdims=False)
+        return lp
 
     if isinstance(params["layers"], (list, tuple)):
         # unrolled layers (opt-in decode mode): weights are separate
@@ -282,10 +288,19 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
                 x, lp, cfg, k_all, v_all, ks_all, vs_all,
                 jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis)
     else:
-        L = jax.tree.leaves(params["layers"])[0].shape[0]
+        layers = params["layers"]
+        L = jax.tree.leaves(layers)[0].shape[0]
+
+        def body(carry, lidx):
+            x, k_all, v_all, ks_all, vs_all = carry
+            lp = make_lp(layers, lidx)
+            x, k_all, v_all, ks_all, vs_all = _block(
+                x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
+                positions, inv_freqs, slopes, tp_axis)
+            return (x, k_all, v_all, ks_all, vs_all), None
+
         (x, k_all, v_all, ks_all, vs_all), _ = jax.lax.scan(
-            body, (x, k_all, v_all, ks_all, vs_all),
-            (params["layers"], jnp.arange(L)))
+            body, (x, k_all, v_all, ks_all, vs_all), jnp.arange(L))
 
     if cfg.final_norm:
         x = _norm(x, params["final_norm_w"], params.get("final_norm_b"), cfg)

@@ -93,14 +93,20 @@ def attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
 
 
 def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int, kv_int8: bool,
-                   softcap: float, scale: float, window: int):
-    """Grid (B, Hkv, S/blk_s) with S innermost; online softmax in scratch."""
+                   softcap: float, scale: float, window: int,
+                   stacked: bool = False):
+    """Grid (B, Hkv, S/blk_s) with S innermost; online softmax in scratch.
+    In stacked mode an extra prefetched layer-index scalar precedes the
+    tensor refs (consumed by the block index maps) and cache tiles carry a
+    leading length-1 layer dim."""
+    if stacked:
+        refs = refs[1:]              # drop lidx_ref
     i = 0
     q_ref = refs[i]; i += 1          # [1, 1, G8, Dh]
-    k_ref = refs[i]; i += 1          # [1, 1, blk_s, Dh]
+    k_ref = refs[i]; i += 1          # [(1,) 1, 1, blk_s, Dh]
     v_ref = refs[i]; i += 1
     if kv_int8:
-        ks_ref = refs[i]; i += 1     # [1, 1, 8, blk_s]
+        ks_ref = refs[i]; i += 1     # [(1,) 1, 1, 8, blk_s]
         vs_ref = refs[i]; i += 1
     out_ref = refs[i]                # [1, 1, G8, Dh]
     m_ref, l_ref, acc_ref = refs[i + 1], refs[i + 2], refs[i + 3]
@@ -166,41 +172,59 @@ def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int, kv_int8: bool,
     static_argnames=("blk_s", "softcap", "scale", "window", "interpret"))
 def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
                  slopes=None, blk_s=512, softcap=0.0, scale=None,
-                 window=0, interpret=False):
-    """q: [B, Hq, Dh]; caches [B, Hkv, S, Dh]; scales [B, Hkv, 8, S] or
+                 window=0, interpret=False, lidx=None):
+    """q: [B, Hq, Dh]; caches [B, Hkv, S, Dh] — or the FULL stacked
+    [L, B, Hkv, S, Dh] with ``lidx`` selecting the layer via a prefetched
+    index (zero-copy under a layer scan); scales [(L,) B, Hkv, 8, S] or
     None; lengths [B] (keys valid at positions < length) → [B, Hq, Dh]."""
     B, Hq, Dh = q.shape
-    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    stacked = k_cache.ndim == 5
+    Hkv, S = k_cache.shape[-3], k_cache.shape[-2]
     G = Hq // Hkv
     G8 = max(8, G)
     scale = Dh ** -0.5 if scale is None else float(scale)
     kv_int8 = k_scale is not None
     assert slopes is None, "ALiBi decode uses the XLA path for now"
+    assert stacked == (lidx is not None)
     blk_s = min(blk_s, S)
     assert S % blk_s == 0, (S, blk_s)
     n_sblk = S // blk_s
+    lead = (1,) if stacked else ()
 
     qg = q.reshape(B, Hkv, G, Dh)
     if G8 != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
 
+    def cmap(f):
+        # cache block index map; stacked mode prepends the layer index,
+        # which arrives as the SECOND prefetched scalar (after lengths)
+        if stacked:
+            return lambda b, h, s, lens, l_ref: (l_ref[0], *f(b, h, s))
+        return lambda b, h, s, *_: f(b, h, s)
+
     in_specs = [
         pl.BlockSpec((1, 1, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, blk_s, Dh), lambda b, h, s, *_: (b, h, s, 0)),
-        pl.BlockSpec((1, 1, blk_s, Dh), lambda b, h, s, *_: (b, h, s, 0)),
+        pl.BlockSpec((*lead, 1, 1, blk_s, Dh), cmap(lambda b, h, s: (b, h, s, 0))),
+        pl.BlockSpec((*lead, 1, 1, blk_s, Dh), cmap(lambda b, h, s: (b, h, s, 0))),
     ]
     operands = [qg, k_cache, v_cache]
     if kv_int8:
         in_specs += [
-            pl.BlockSpec((1, 1, 8, blk_s), lambda b, h, s, *_: (b, h, 0, s)),
-            pl.BlockSpec((1, 1, 8, blk_s), lambda b, h, s, *_: (b, h, 0, s))]
+            pl.BlockSpec((*lead, 1, 1, 8, blk_s),
+                         cmap(lambda b, h, s: (b, h, 0, s))),
+            pl.BlockSpec((*lead, 1, 1, 8, blk_s),
+                         cmap(lambda b, h, s: (b, h, 0, s)))]
         operands += [k_scale, v_scale]
     kernel = functools.partial(
         _decode_kernel, blk_s=blk_s, n_sblk=n_sblk, kv_int8=kv_int8,
-        softcap=float(softcap), scale=scale, window=int(window))
+        softcap=float(softcap), scale=scale, window=int(window),
+        stacked=stacked)
 
+    scalars = [lengths.astype(jnp.int32)]
+    if stacked:
+        scalars.append(jnp.asarray(lidx, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(scalars),
         grid=(B, Hkv, n_sblk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),
@@ -217,16 +241,22 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), *operands)
+    )(*scalars, *operands)
     return out[:, :, :G, :].reshape(B, Hq, Dh)
 
 
 def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
-           slopes=None, sliding=None, force=None, interpret=False):
+           slopes=None, sliding=None, force=None, interpret=False,
+           lidx=None):
     """Dispatcher: Pallas decode kernel when T==1 on TPU (and the config's
-    sliding flag is layer-static), XLA reference otherwise."""
+    sliding flag is layer-static), XLA reference otherwise.
+
+    Caches may be the FULL [L, ...] stacks with ``lidx`` selecting the
+    layer: the Pallas kernel consumes them zero-copy; the XLA path slices
+    (XLA fuses the slice into its attention reads)."""
     B, T, Hq, Dh = q.shape
-    S = k_cache.shape[2]
+    stacked = k_cache.ndim == 5
+    S = k_cache.shape[-2]
     backend = jax.default_backend()
     use_pallas = (force == "pallas" or interpret
                   or (force is None and backend == "tpu"))
@@ -239,7 +269,12 @@ def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
             softcap=cfg.attn_softcap, window=cfg.sliding_window or 0,
             scale=(cfg.attn_scale if cfg.attn_scale is not None
                    else Dh ** -0.5),
-            interpret=interpret)
+            interpret=interpret, lidx=lidx if stacked else None)
         return out.reshape(B, 1, Hq * Dh)
+    if stacked:
+        sl = lambda c: None if c is None else \
+            jax.lax.dynamic_index_in_dim(c, lidx, 0, keepdims=False)
+        k_cache, v_cache = sl(k_cache), sl(v_cache)
+        k_scale, v_scale = sl(k_scale), sl(v_scale)
     return attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
                       slopes, sliding)

@@ -88,16 +88,28 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
 
 def _qmm_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
                 n_planes: int, has_zeros: bool, groups_per_step: int,
-                out_dtype):
+                out_dtype, stacked: bool = False):
     """Grid (M/TM, N/TN, K/TK), K innermost; accumulate into f32 scratch.
 
-    Ref order: x, planes..., scales, [zeros], out, acc_scratch.
+    Ref order: [lidx (scalar prefetch, stacked mode)], x, planes...,
+    scales, [zeros], out, acc_scratch. In stacked mode the weight operands
+    are the full [L, ...] stacks and every tile carries a leading
+    length-1 layer dim (selected by the prefetched index in the block
+    index maps) — this is what lets a lax.scan over layers stream weights
+    straight from HBM with NO per-step slice copy.
     Scales/zeros arrive as the full-K stripe (G may be < 8 rows per step,
     below the sublane tile, so we can't block them); slice per k-step here.
     """
+    if stacked:
+        refs = refs[1:]  # drop lidx_ref (only used by index maps)
+
+    def tile(r):
+        a = r[...]
+        return a.reshape(a.shape[-2:])  # squeeze leading layer dim
+
     x_ref = refs[0]
-    plane_tiles = [refs[1 + i][...] for i in range(n_planes)]
-    G_total = refs[1 + n_planes].shape[0]
+    plane_tiles = [tile(refs[1 + i]) for i in range(n_planes)]
+    G_total = refs[1 + n_planes].shape[-2]
     if groups_per_step == G_total:
         sl = slice(None)
     else:
@@ -106,9 +118,15 @@ def _qmm_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
         kidx = pl.program_id(2)
         gstart = pl.multiple_of(kidx * groups_per_step, groups_per_step)
         sl = pl.ds(gstart, groups_per_step)
-    scales_tile = refs[1 + n_planes][sl, :]
+
+    def stripe(r):
+        if len(r.shape) == 3:      # stacked: [1, G, tn]
+            return r[0, sl, :]
+        return r[sl, :]
+
+    scales_tile = stripe(refs[1 + n_planes])
     idx = 2 + n_planes
-    zeros_tile = refs[idx][sl, :] if has_zeros else None
+    zeros_tile = stripe(refs[idx]) if has_zeros else None
     if has_zeros:
         idx += 1
     out_ref, acc_ref = refs[idx], refs[idx + 1]
@@ -128,51 +146,75 @@ def _qmm_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
 
 @functools.partial(
     jax.jit, static_argnames=("tm", "tn", "tk", "out_dtype", "interpret"))
-def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret):
+def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
+                    lidx=None):
+    """Fused dequant matmul. If ``lidx`` is given, qt's arrays are the FULL
+    [L, ...] stacks and the kernel streams layer ``lidx`` directly from HBM
+    via prefetched-index block maps (zero-copy under a layer scan)."""
     M, K = x.shape
     N = qt.N
     cfg = qt.cfg
     g = qt.group_size
     grid = (M // tm, N // tn, K // tk)
+    stacked = lidx is not None
+    lead = (1,) if stacked else ()
 
-    in_specs = [pl.BlockSpec((tm, tk), lambda i, j, k: (i, k))]
+    def wmap(f):
+        # weight index map; stacked mode prepends the prefetched layer idx
+        if stacked:
+            return lambda i, j, k, l_ref: (l_ref[0], *f(i, j, k))
+        return f
+
+    def xmap(i, j, k, *a):
+        return (i, k)
+
+    in_specs = [pl.BlockSpec((tm, tk), xmap)]
     if cfg.kind.startswith("fp8"):
         pack_rows = [tk]
     else:
         pack_rows = [tk * p // 8 for p, _ in plane_shifts(cfg.bits)]
     for rows in pack_rows:
-        in_specs.append(pl.BlockSpec((rows, tn), lambda i, j, k: (k, j)))
+        in_specs.append(pl.BlockSpec((*lead, rows, tn),
+                                     wmap(lambda i, j, k: (k, j))))
     # scales/zeros: full-K stripe (G rows may be < sublane tile per k-step).
-    G = qt.scales.shape[0]
-    in_specs.append(pl.BlockSpec((G, tn), lambda i, j, k: (0, j)))
+    G = qt.scales.shape[-2]
+    in_specs.append(pl.BlockSpec((*lead, G, tn),
+                                 wmap(lambda i, j, k: (0, j))))
     operands = [x, *qt.planes, qt.scales]
     has_zeros = qt.zeros is not None
     if has_zeros:
-        in_specs.append(pl.BlockSpec((G, tn), lambda i, j, k: (0, j)))
+        in_specs.append(pl.BlockSpec((*lead, G, tn),
+                                     wmap(lambda i, j, k: (0, j))))
         operands.append(qt.zeros)
 
     kernel = functools.partial(
         _qmm_kernel, cfg=cfg, group_size=g, chunk=pack_chunk(cfg, K),
         n_planes=len(qt.planes), has_zeros=has_zeros,
-        groups_per_step=tk // g, out_dtype=out_dtype)
+        groups_per_step=tk // g, out_dtype=out_dtype, stacked=stacked)
 
     bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
                       + M * N * np.dtype(out_dtype).itemsize)
-
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K, bytes_accessed=bytes_accessed,
             transcendentals=0),
         interpret=interpret,
-    )(*operands)
+    )
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), xmap),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)])
+        return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+            jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        **common)(*operands)
 
 
 def qmatmul_native(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
@@ -233,14 +275,31 @@ def _pick_tiles(M, K, N, g, bits, kind):
     return tm, tn, tk
 
 
+def slice_layer(qt: QTensor, lidx) -> QTensor:
+    """Select layer ``lidx`` from a [L, ...]-stacked QTensor (materializes
+    a copy — only for paths that can't consume the stack directly)."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, lidx, 0, keepdims=False),
+        qt)
+
+
 def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
-            force: Optional[str] = None, interpret: bool = False) -> jnp.ndarray:
+            force: Optional[str] = None, interpret: bool = False,
+            lidx=None) -> jnp.ndarray:
     """``x @ W_q`` with on-the-fly dequantization.
 
     x: [..., K]; returns [..., N]. Uses the Pallas fused kernel on TPU,
     XLA fallback elsewhere (reference dispatch analog:
     neural_speed/core/layers/ne_bestla.cpp:205 ``bestla_support``).
+
+    If ``qt`` is a [L, ...] stack and ``lidx`` is given, the TPU kernel
+    streams that layer's weights directly from the stacked HBM buffers
+    (prefetched-index block maps) — the fast path under a layer scan.
     """
+    if qt.planes[0].ndim == 2:
+        lidx = None  # already a single layer
+    elif lidx is None:
+        raise ValueError("stacked QTensor requires lidx")
     out_dtype = out_dtype or x.dtype
     *lead, K = x.shape
     assert K == qt.K, (K, qt.shape)
@@ -251,9 +310,17 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         # act-order: stored weight rows are W[perm] → gather x to match.
         # Only for paths that consume the STORED row order; the XLA
         # fallback goes through dequantize(), which un-permutes itself.
-        return x2 if qt.perm is None else jnp.take(x2, qt.perm, axis=1)
+        if qt.perm is None:
+            return x2
+        perm = qt.perm
+        if lidx is not None and perm.ndim == 2:
+            perm = jax.lax.dynamic_index_in_dim(perm, lidx, 0,
+                                                keepdims=False)
+        return jnp.take(x2, perm, axis=1)
 
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+        if lidx is not None:
+            qt = slice_layer(qt, lidx)
         return qmatmul_native(gathered(x2), qt, out_dtype).reshape(
             *lead, qt.N)
 
@@ -268,9 +335,12 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         Mp = _round_up(max(M, tm), tm)
         xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
         out = _qmatmul_pallas(xp.astype(jnp.bfloat16), qt, *tiles,
-                              out_dtype=out_dtype, interpret=interpret)
+                              out_dtype=out_dtype, interpret=interpret,
+                              lidx=lidx)
         if Mp != M:
             out = out[:M]
         return out.reshape(*lead, qt.N)
+    if lidx is not None:
+        qt = slice_layer(qt, lidx)
     out = qmatmul_xla(x2, qt, out_dtype)
     return out.reshape(*lead, qt.N)
