@@ -124,6 +124,8 @@ class Model:
         """reference Model.generate (__init__.py:337). Returns full id
         lists (prompt + new tokens), one per input row."""
         assert self.params is not None, "call init first"
+        from .utils.profiling import Timings, maybe_trace
+        timings = Timings()
         rows = _to_id_list(input_ids)
         outs = []
         for ids in rows:
@@ -145,9 +147,13 @@ class Model:
                     seed=seed, stop_at_eos=stop_at_eos))
             else:
                 from .runtime.generate import generate
-                outs.append(generate(self.params, self.cfg, ids, sp,
-                                     max_new_tokens, max_len, seed,
-                                     stop_at_eos))
+                with maybe_trace("generate"), \
+                        timings.phase("decode",
+                                      tokens=max_new_tokens):
+                    outs.append(generate(self.params, self.cfg, ids, sp,
+                                         max_new_tokens, max_len, seed,
+                                         stop_at_eos))
+        timings.print_if_verbose()
         return outs
 
     def generate_text(self, prompt: str, **kw) -> str:

@@ -276,5 +276,144 @@ def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
             jax.lax.dynamic_index_in_dim(c, lidx, 0, keepdims=False)
         k_cache, v_cache = sl(k_cache), sl(v_cache)
         k_scale, v_scale = sl(k_scale), sl(v_scale)
+    if (use_pallas and T > 8 and layer_sliding_ok and not cfg.use_alibi
+            and k_scale is None and Dh % 128 == 0 and S % 512 == 0
+            and force != "xla"):
+        Tp = -(-T // 128) * 128
+        qp = q if Tp == T else jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0),
+                                           (0, 0)))
+        out = flash_prefill(
+            qp, k_cache, v_cache, starts=positions[:, 0],
+            blk_t=min(256, Tp), softcap=cfg.attn_softcap,
+            window=cfg.sliding_window or 0,
+            scale=(cfg.attn_scale if cfg.attn_scale is not None
+                   else Dh ** -0.5),
+            interpret=interpret)
+        return out[:, :T].reshape(B, T, Hq * Dh)
     return attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
                       slopes, sliding)
+
+
+# ---------------------------------------------------------------------------
+# Pallas prefill kernel (causal, T > 1)
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(starts_ref, *refs, blk_t: int, blk_s: int, n_sblk: int,
+                    softcap: float, scale: float, window: int, group: int):
+    """Grid (B*Hq, T/blk_t, S/blk_s), S innermost; flash online softmax.
+
+    Query head bh = b*Hq + h reads KV head h // group. Causal: key pos
+    s <= start_b + q_row. Skips fully-masked S-blocks.
+    """
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    out_ref = refs[3]
+    m_ref, l_ref, acc_ref = refs[4], refs[5], refs[6]
+
+    bh = pl.program_id(0)
+    tb = pl.program_id(1)
+    sb = pl.program_id(2)
+    B_Hq = pl.num_programs(0)
+
+    @pl.when(sb == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = starts_ref[bh]
+    # absolute positions of this tile's queries / keys
+    q0 = start + tb * blk_t
+    max_q_pos = q0 + blk_t - 1
+
+    @pl.when(sb * blk_s <= max_q_pos)
+    def _process():
+        Dh = q_ref.shape[-1]
+        q = q_ref[...].reshape(blk_t, Dh).astype(jnp.float32)
+        k = k_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
+        sc = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if softcap:
+            sc = softcap * jnp.tanh(sc / softcap)
+        qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+        kpos = sb * blk_s + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        mask = kpos <= qpos
+        if window:
+            mask = jnp.logical_and(mask, kpos > qpos - window)
+        sc = jnp.where(mask, sc, NEG)
+
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(sc - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
+        v = v_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[...] = m_new
+
+    @pl.when(sb == n_sblk - 1)
+    def _finalize():
+        out = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        out_ref[...] = out.reshape(out_ref.shape).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blk_t", "blk_s", "softcap", "scale", "window",
+                     "interpret"))
+def flash_prefill(q, k_cache, v_cache, starts, blk_t=256, blk_s=512,
+                  softcap=0.0, scale=None, window=0, interpret=False):
+    """Causal flash attention for prefill. q: [B, T, Hq, Dh];
+    caches [B, Hkv, S, Dh] (bf16; already containing this prefill's keys);
+    starts [B] (query row t sits at absolute position starts[b]+t).
+    → [B, T, Hq, Dh] f32. Never materializes the [T, S] score matrix in
+    HBM (reference analog: the fused-attention prefill win,
+    docs/fused_attention.md)."""
+    B, T, Hq, Dh = q.shape
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    G = Hq // Hkv
+    scale = Dh ** -0.5 if scale is None else float(scale)
+    blk_t = min(blk_t, T)
+    blk_s = min(blk_s, S)
+    assert T % blk_t == 0 and S % blk_s == 0, (T, blk_t, S, blk_s)
+
+    # per-(b,h) query streams: [B*Hq, T, Dh]
+    qs = q.transpose(0, 2, 1, 3).reshape(B * Hq, T, Dh)
+    starts_bh = jnp.repeat(starts.astype(jnp.int32), Hq)
+
+    grid = (B * Hq, T // blk_t, S // blk_s)
+    # query stream bh = b*Hq + h_q reads KV head (bh % Hq) // G of batch
+    # row bh // Hq
+    kv_map = lambda bh, tb, sb, *_: (bh // Hq, (bh % Hq) // G, sb, 0)
+    in_specs = [
+        pl.BlockSpec((1, blk_t, Dh), lambda bh, tb, sb, *_: (bh, tb, 0)),
+        pl.BlockSpec((1, 1, blk_s, Dh), kv_map),
+        pl.BlockSpec((1, 1, blk_s, Dh), kv_map),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_t, Dh),
+                               lambda bh, tb, sb, *_: (bh, tb, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((blk_t, 1), jnp.float32),
+            pltpu.VMEM((blk_t, 1), jnp.float32),
+            pltpu.VMEM((blk_t, Dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, blk_t=blk_t, blk_s=blk_s, n_sblk=S // blk_s,
+        softcap=float(softcap), scale=scale, window=int(window), group=G)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Hq, T, Dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(starts_bh, qs.astype(jnp.bfloat16), k_cache, v_cache)
+    return out.reshape(B, Hq, T, Dh).transpose(0, 2, 1, 3)

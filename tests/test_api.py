@@ -78,3 +78,32 @@ def test_spm_tokenizer_roundtrip():
     # byte fallback for unknown chars
     ids2 = tok.encode("héllo")
     assert tok.decode(ids2) == "héllo"
+
+
+def test_wav_reader_roundtrip(tmp_path):
+    import wave
+    from neural_tpu.utils import read_wav, load_audio_16k
+    path = str(tmp_path / "t.wav")
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(sig.tobytes())
+    x, got_sr = read_wav(path)
+    assert got_sr == sr and x.shape == (sr, 1)
+    assert abs(float(np.abs(x).max()) - 0.5) < 0.01
+    a16 = load_audio_16k(path)
+    assert len(a16) == 16000  # resampled 1s
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(a16))
+    assert abs(int(np.argmax(spec)) - 440) <= 2
+
+
+def test_verbose_timings(capsys, monkeypatch):
+    monkeypatch.setenv("NEURAL_TPU_VERBOSE", "1")
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype=None,
+                                      dtype="float32")
+    m.generate([[3, 5]], max_new_tokens=3, stop_at_eos=False)
+    out = capsys.readouterr().out
+    assert "neural-tpu timings" in out and "decode" in out

@@ -113,3 +113,40 @@ def test_int8_cache_end_to_end():
         np.linalg.norm(np.asarray(l16), axis=-1)
         * np.linalg.norm(np.asarray(l8), axis=-1) + 1e-9)
     assert cos.min() > 0.999, cos.min()
+
+
+@pytest.mark.parametrize("Hkv", [8, 4, 1])
+def test_flash_prefill_matches_oracle(Hkv):
+    from neural_tpu.ops.attention import flash_prefill
+    B, Hq, Dh, S, T, start = 2, 8, 128, 512, 128, 37
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.bfloat16)
+    positions = start + jnp.arange(T)[None, :].astype(jnp.int32) \
+        * jnp.ones((B, 1), jnp.int32)
+    cfg = cfg_for(Hkv=Hkv)
+    ref = attend_xla(q, k, v, None, None, positions, cfg)
+    out = flash_prefill(q, k, v, starts=jnp.full((B,), start, jnp.int32),
+                        blk_t=128, blk_s=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_flash_prefill_window_softcap():
+    from neural_tpu.ops.attention import flash_prefill
+    B, Hq, Hkv, Dh, S, T = 1, 4, 2, 128, 512, 128
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.bfloat16)
+    positions = jnp.arange(T)[None, :].astype(jnp.int32)
+    cfg = cfg_for(Hq=4, Hkv=2, sliding_window=64, attn_softcap=30.0)
+    ref = attend_xla(q, k, v, None, None, positions, cfg)
+    out = flash_prefill(q, k, v, starts=jnp.zeros((B,), jnp.int32),
+                        blk_t=128, blk_s=256, window=64, softcap=30.0,
+                        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref),
+        atol=3e-2, rtol=3e-2)
