@@ -162,6 +162,37 @@ class Model:
         out = self.generate(ids, **kw)[0]
         return self.tokenizer.decode(out[len(ids):])
 
+    # -- whisper ------------------------------------------------------------
+    def init_whisper(self, model_name_or_path_or_model):
+        """Load a Whisper checkpoint (HF dir or in-memory torch model)."""
+        from .models import whisper as wh
+        if isinstance(model_name_or_path_or_model, str):
+            import transformers
+            model = transformers.WhisperForConditionalGeneration \
+                .from_pretrained(model_name_or_path_or_model)
+            try:
+                self.tokenizer = transformers.WhisperTokenizer \
+                    .from_pretrained(model_name_or_path_or_model)
+            except Exception:
+                self.tokenizer = None
+        else:
+            model = model_name_or_path_or_model
+        self.params, self.cfg = wh.params_from_hf(model)
+        self._whisper = True
+        return self
+
+    def transcribe_file(self, wav_path: str, prompt_ids=None,
+                        max_new_tokens: int = 224):
+        """WAV file → token ids (reference: whisper CLI audio_run.cpp)."""
+        from .models import whisper as wh
+        from .utils.audio import load_audio_16k
+        audio = load_audio_16k(wav_path)
+        mel = wh.log_mel_spectrogram(audio, self.cfg.n_mels)
+        prompt = list(prompt_ids) if prompt_ids is not None \
+            else [self.cfg.sot_token_id]
+        return wh.transcribe_ids(self.params, self.cfg, mel, prompt,
+                                 max_new_tokens)
+
     def __call__(self, input_ids, **kw):
         """Teacher-forced logits (reference Model.__call__ __init__.py:439)."""
         from .runtime.generate import batch_logits

@@ -45,6 +45,7 @@ class Sequence:
     request_id: str
     prompt_ids: List[int]
     max_new_tokens: int = 128
+    sampling: Optional[SamplingParams] = None   # per-request override
     status: SeqStatus = SeqStatus.WAITING
     slot: int = -1
     output_ids: List[int] = dataclasses.field(default_factory=list)
@@ -121,11 +122,14 @@ class Scheduler:
 
     # -- client API ---------------------------------------------------------
     def add_request(self, request_id: str, prompt_ids: Sequence[int],
-                    max_new_tokens: int = 128):
+                    max_new_tokens: int = 128,
+                    sampling: Optional[SamplingParams] = None):
+        """``sampling`` overrides the scheduler default for this request
+        (reference: per-query generation config in Query)."""
         assert len(prompt_ids) + max_new_tokens <= self.max_len, \
             "request exceeds max_len"
         self.waiting.append(Sequence(request_id, list(prompt_ids),
-                                     max_new_tokens))
+                                     max_new_tokens, sampling))
 
     def pop_finished(self) -> List[Sequence]:
         out, self.finished = self.finished, []
@@ -161,9 +165,10 @@ class Scheduler:
 
     # -- internals ----------------------------------------------------------
     def _sample_one(self, logits_row, seq: Sequence):
+        sp = seq.sampling or self.sampling
         self.key, sub = jax.random.split(self.key)
-        hist = (seq.prompt_ids + seq.output_ids)[-self.sampling.repeat_last_n:]
-        tok, _ = sample(logits_row[None], sub, self.sampling,
+        hist = (seq.prompt_ids + seq.output_ids)[-sp.repeat_last_n:]
+        tok, _ = sample(logits_row[None], sub, sp,
                         prev_tokens=jnp.asarray([hist], jnp.int32))
         return int(tok[0])
 

@@ -20,10 +20,12 @@ from .scheduler import Scheduler, Sequence as Seq
 class Query:
     """reference: Query (main_pybind.cpp:59)."""
 
-    def __init__(self, query_id, token_ids, max_new_tokens: int = 128):
+    def __init__(self, query_id, token_ids, max_new_tokens: int = 128,
+                 sampling=None):
         self.id = query_id
         self.token_ids = list(token_ids)
         self.max_new_tokens = max_new_tokens
+        self.sampling = sampling
 
 
 class ModelServer:
@@ -70,7 +72,8 @@ class ModelServer:
                 pending, self._pending = self._pending, []
             for q in pending:
                 self.scheduler.add_request(q.id, q.token_ids,
-                                           q.max_new_tokens)
+                                           q.max_new_tokens,
+                                           sampling=q.sampling)
             if self.scheduler.has_work:
                 self.scheduler.step()
                 done = self.scheduler.pop_finished()

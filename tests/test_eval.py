@@ -55,3 +55,29 @@ def test_compare_vs_hf():
     res = compare_vs_hf(m, hf, [[3, 5, 9], [8, 2, 4]])
     assert res["cos_min"] > 0.95
     assert 0 <= res["argmax_agree"] <= 1
+
+
+def test_loglikelihood_matches_torch():
+    hf = tiny()
+    m = nt.Model().init_from_hf_model(hf, weight_dtype=None, dtype="float32")
+    from neural_tpu.eval import loglikelihood, score_choices
+    ctx, cont = [3, 17, 91], [4, 120]
+    ll, greedy = loglikelihood(m.params, m.cfg, ctx, cont)
+    import torch as t
+    with t.no_grad():
+        lg = hf(t.tensor([ctx + cont])).logits[0].float()
+        lp = t.log_softmax(lg, -1)
+        ref = float(lp[2, 4] + lp[3, 120])
+    assert abs(ll - ref) < 5e-3, (ll, ref)
+
+    # score_choices picks the higher-likelihood continuation
+    good = [int(np.argmax(np.asarray(m([[3, 17, 91]]))[0, -1]))]
+    bad = [(good[0] + 7) % 256]
+    assert score_choices(m.params, m.cfg, [3, 17, 91], [bad, good]) == 1
+
+
+def test_lm_eval_adapter_gated():
+    m = nt.Model()
+    from neural_tpu.eval import make_lm_eval_model
+    with pytest.raises(ImportError):
+        make_lm_eval_model(m)

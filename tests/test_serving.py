@@ -88,3 +88,20 @@ def test_model_server_threaded(model):
     ref = ref_outputs(params, cfg, [[5, 6, 7 + i] for i in range(4)], 5)
     exact = sum(results[f"q{i}"] == ref[i] for i in range(4))
     assert exact >= 3, (results, ref)
+
+
+def test_per_request_sampling(model):
+    params, cfg = model
+    sched = Scheduler(params, cfg, max_batch=2, max_len=64,
+                      prefill_buckets=(32,),
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("greedy", [5, 9, 2], max_new_tokens=6)
+    sched.add_request("hot", [5, 9, 2], max_new_tokens=6,
+                      sampling=SamplingParams(temperature=1.5, top_k=0,
+                                              top_p=1.0,
+                                              repeat_penalty=1.0))
+    done = {s.request_id: s.output_ids for s in sched.run_to_completion()}
+    ref = ref_outputs(params, cfg, [[5, 9, 2]], 6)[0]
+    assert done["greedy"] == ref
+    assert len(done["hot"]) == 6  # sampled path ran

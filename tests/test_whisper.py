@@ -75,3 +75,20 @@ def test_mel_matches_hf_feature_extractor():
     ours = log_mel_spectrogram(audio, 80)
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_transcribe_file_api(tmp_path):
+    import wave
+    import neural_tpu as nt
+    m = tiny_whisper()
+    api = nt.Model().init_whisper(m)
+    # synthesize a wav
+    sr = 16000
+    t = np.arange(sr) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    p = str(tmp_path / "a.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes(sig.tobytes())
+    ids = api.transcribe_file(p, prompt_ids=[4], max_new_tokens=6)
+    assert ids[0] == 4 and len(ids) >= 2
