@@ -61,6 +61,20 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
     """
     if cfg.kind.startswith("fp8"):
         vals = plane_tiles[0].astype(jnp.float32)
+    elif plane_tiles[0].dtype in (jnp.int4, jnp.uint4):
+        # native sub-byte plane: Mosaic's hardware int4 convert (no VPU
+        # shift/mask unpacking) — measured ~1.5x the packed-u8 path
+        vals = plane_tiles[0].astype(jnp.float32)
+        TK, TN = vals.shape
+        vg = vals.reshape(TK // group_size, group_size, TN)
+        if cfg.kind == "int" and not cfg.sym:
+            if zeros_tile.dtype == jnp.uint8:
+                zf = zeros_tile.astype(jnp.int32).astype(jnp.float32)
+            else:
+                zf = zeros_tile.astype(jnp.float32)
+            vg = vg - zf[:, None, :]
+        w = vg * scales_tile.astype(jnp.float32)[:, None, :]
+        return w.reshape(TK, TN).astype(out_dtype)
     else:
         codes = unpack_codes(tuple(plane_tiles), cfg.bits, chunk)  # int32
         if cfg.kind in ("nf4", "fp4"):
@@ -169,7 +183,8 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
         return (i, k)
 
     in_specs = [pl.BlockSpec((tm, tk), xmap)]
-    if cfg.kind.startswith("fp8"):
+    if cfg.kind.startswith("fp8") or \
+            qt.planes[0].dtype in (jnp.int4, jnp.uint4):
         pack_rows = [tk]
     else:
         pack_rows = [tk * p // 8 for p, _ in plane_shifts(cfg.bits)]
@@ -318,13 +333,27 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
                                                 keepdims=False)
         return jnp.take(x2, perm, axis=1)
 
+    backend = jax.default_backend()
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+        tiles = (_pick_tiles(M, K, qt.N, qt.group_size, 4, "fp8__native")
+                 if (backend == "tpu" or force == "pallas" or interpret)
+                 and force != "xla" else None)
+        if tiles is not None:
+            tm = tiles[0]
+            x2g = gathered(x2)
+            Mp = _round_up(max(M, tm), tm)
+            xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+            out = _qmatmul_pallas(xp.astype(jnp.bfloat16), qt, *tiles,
+                                  out_dtype=out_dtype, interpret=interpret,
+                                  lidx=lidx)
+            if Mp != M:
+                out = out[:M]
+            return out.reshape(*lead, qt.N)
         if lidx is not None:
             qt = slice_layer(qt, lidx)
         return qmatmul_native(gathered(x2), qt, out_dtype).reshape(
             *lead, qt.N)
 
-    backend = jax.default_backend()
     use_pallas = force != "xla" and (backend == "tpu" or interpret
                                      or force == "pallas")
     tiles = (_pick_tiles(M, K, qt.N, qt.group_size, qt.cfg.bits, qt.cfg.kind)

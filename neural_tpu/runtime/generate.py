@@ -33,9 +33,12 @@ def prepare_params(params, native: bool = False, unroll: bool = False):
        re-materializes a sliced copy every step before each Pallas call).
 
     Both run once per jit invocation and hoist out of the decode scan.
-    Measured on v5e (7B int4, S=2048): scan+packed-Pallas 27.9 ms/tok,
-    native-int4 in scan 34 (int4 slice copies), unrolled-native 29 — so
-    both transforms default OFF until the decode path is profiled properly.
+    ``native`` is OFF by default: the int4-plane Pallas kernel measured
+    ~309 GB/s in isolation (hardware int4->bf16 convert vs ~230 GB/s for
+    packed-u8 unpack) and passes in interpret mode, but on the real chip
+    the full-model stacked variant currently returns zeros — a Mosaic
+    int4-load issue to root-cause before enabling. ``unroll`` stays
+    opt-in.
     """
     if native:
         params = jax.tree.map(

@@ -91,3 +91,32 @@ def test_xla_fallback_matches():
     a = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, force="xla"))
     b = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("sym", [True, False])
+def test_native_int4_pallas_matches_oracle(sym):
+    from neural_tpu.core import to_native
+    cfg = QuantConfig(bits=4, sym=sym, group_size=32)
+    w = mk(0, (256, 128))
+    x = mk(1, (4, 256), 1.0)
+    qt = quantize(w, cfg)
+    qtn = to_native(qt)
+    assert qtn.planes[0].dtype in (jnp.int4, jnp.uint4)
+    ref = np.asarray(matmul_ref(x, qt, jnp.float32))
+    out = np.asarray(qmatmul(x, qtn, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_native_int4_stacked_lidx():
+    from neural_tpu.core import to_native
+    import jax
+    cfg = QuantConfig(bits=4, sym=True, group_size=32)
+    ws = [mk(i, (256, 128)) for i in range(3)]
+    x = mk(9, (4, 256), 1.0)
+    qts = [to_native(quantize(w, cfg)) for w in ws]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    for l in range(3):
+        ref = np.asarray(matmul_ref(x, quantize(ws[l], cfg), jnp.float32))
+        out = np.asarray(qmatmul(x, stacked, out_dtype=jnp.float32,
+                                 interpret=True, lidx=jnp.int32(l)))
+        np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)

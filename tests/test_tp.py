@@ -88,3 +88,13 @@ def test_moe_tp():
     out, _ = step(sp, jnp.asarray(tokens), start, sc)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_auto_mesh_layout():
+    from neural_tpu.parallel import auto_mesh, is_primary
+    mesh = auto_mesh(tp=4)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.shape["tp"] == 4 and mesh.shape["dp"] == 2
+    assert is_primary()  # single-process run
+    mesh2 = auto_mesh()  # auto: tp = local devices
+    assert mesh2.shape["dp"] * mesh2.shape["tp"] == 8
