@@ -165,28 +165,36 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rope_dim)
 
     # append ONLY the new tokens to the full stacked cache at (lidx, b, :,
-    # start_b): per-batch vmap of a tiny dynamic_update_slice.
+    # start_b). The batch dim is unrolled into B direct dynamic_update_slice
+    # ops: a vmapped dus (per-batch traced offsets) cannot lower to a real
+    # dus — XLA rebuilt each layer's whole [Hkv, S, Dh] slice through a
+    # select (measured 4.2 ms/tok of copies on a 7B, ~30% of decode).
     kt = k.transpose(0, 2, 1, 3)                     # [B, Hkv, T, Dh]
     vt = v.transpose(0, 2, 1, 3)
     if ks_all is not None:  # int8 KV (reference packed int8 KV layouts)
         kt, ks_new = quantize_kv(kt)                 # scales [B, Hkv, T]
         vt, vs_new = quantize_kv(vt)
 
-        def upds(sc_b, new_b, s0):                    # sc_b [L, Hkv, 8, S]
-            rep = jnp.broadcast_to(new_b[:, None, :],
-                                   (new_b.shape[0], 8, new_b.shape[1]))
-            return jax.lax.dynamic_update_slice(sc_b, rep[None],
-                                                (lidx, 0, 0, s0))
-        ks_all = jax.vmap(upds, in_axes=(1, 0, 0), out_axes=1)(
-            ks_all, ks_new, start)
-        vs_all = jax.vmap(upds, in_axes=(1, 0, 0), out_axes=1)(
-            vs_all, vs_new, start)
+        def upds(sc_all, new, starts):                # sc_all [L,B,Hkv,8,S]
+            B_, H_, T_ = new.shape
+            rep = jnp.broadcast_to(new[:, :, None, :], (B_, H_, 8, T_))
+            rep = rep.astype(sc_all.dtype)
+            for b in range(B_):
+                sc_all = jax.lax.dynamic_update_slice(
+                    sc_all, rep[b][None, None],
+                    (lidx, b, 0, 0, starts[b]))
+            return sc_all
+        ks_all = upds(ks_all, ks_new, start)
+        vs_all = upds(vs_all, vs_new, start)
 
-    def upd(cache_b, new_b, s0):                      # cache_b [L,Hkv,S,Dh]
-        return jax.lax.dynamic_update_slice(
-            cache_b, new_b.astype(cache_b.dtype)[None], (lidx, 0, s0, 0))
-    k_all = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(k_all, kt, start)
-    v_all = jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(v_all, vt, start)
+    def upd(cache, new, starts):                      # cache [L,B,Hkv,S,Dh]
+        new = new.astype(cache.dtype)
+        for b in range(new.shape[0]):
+            cache = jax.lax.dynamic_update_slice(
+                cache, new[b][None, None], (lidx, b, 0, starts[b], 0))
+        return cache
+    k_all = upd(k_all, kt, start)
+    v_all = upd(v_all, vt, start)
 
     # caches stay STACKED: the Pallas decode kernel streams layer lidx
     # directly; the XLA fallback slices inside attend (fused, no copy).

@@ -221,7 +221,7 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=pl.BlockSpec((tm, tn), xmap),
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l_ref: (i, j)),
             scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)])
         return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
             jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
@@ -230,6 +230,132 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         **common)(*operands)
+
+
+def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
+                 stacked: bool):
+    """Native-int4 decode kernel: one full-K stripe per grid step.
+
+    Measured on v5e (K=N=4096, q4_0): the hardware int4→f32 convert plus an
+    f32 group-scale multiply feeding an f32 MXU dot streams weights at
+    ~660 GB/s vs ~230 GB/s for shift/mask unpacking and ~900 GB/s for the
+    unscaled-convert roofline (scripts/exp_kernels.py). Zero-points never
+    touch the [K, tn] tile: they fold into a rank-G compensation matmul
+    ``out -= xs @ (z·s)`` (the analog of the reference's zero-point
+    compensation epilogue, bestla_epilogue.h:278 ``ZpDequantInt32ToFp32``),
+    where ``xs`` are per-group sums of x computed outside the kernel.
+
+    Ref order: [lidx (scalar prefetch, stacked)], x, codes, scales,
+    [zeros, xs], out. Grid (M/tm, N/tn); no K loop, no accumulator.
+    """
+    if stacked:
+        refs = refs[1:]
+
+    def tile(r):
+        a = r[...]
+        return a.reshape(a.shape[-2:])
+
+    x_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
+    idx = 3
+    if has_zeros:
+        z_ref, xs_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    out_ref = refs[idx]
+
+    w = tile(w_ref).astype(jnp.float32)              # [K, tn]
+    s = tile(s_ref).astype(jnp.float32)              # [G, tn]
+    K, tn = w.shape
+    G = s.shape[0]
+    wg = (w.reshape(G, group_size, tn) * s[:, None, :]).reshape(K, tn)
+    acc = jnp.dot(x_ref[...].astype(jnp.float32), wg,
+                  preferred_element_type=jnp.float32)
+    if has_zeros:
+        z = tile(z_ref)
+        if z.dtype == jnp.uint8:
+            zf = z.astype(jnp.int32).astype(jnp.float32)
+        else:
+            zf = z.astype(jnp.float32)
+        acc = acc - jnp.dot(xs_ref[...], zf * s,
+                            preferred_element_type=jnp.float32)
+    out_ref[...] = acc.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "out_dtype", "interpret"))
+def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
+    """Native-int4 fused matmul for small M (decode). x: [M, K] with M % tm
+    == 0. Stacked mode streams layer ``lidx`` from [L, ...] HBM stacks."""
+    M, K = x.shape
+    N = qt.N
+    g = qt.group_size
+    grid = (M // tm, N // tn)
+    stacked = lidx is not None
+    lead = (1,) if stacked else ()
+
+    def wmap(f):
+        if stacked:
+            return lambda i, j, l_ref: (l_ref[0], *f(i, j))
+        return f
+
+    def xmap(i, j, *a):
+        return (i, 0)
+
+    G = qt.scales.shape[-2]
+    in_specs = [
+        pl.BlockSpec((tm, K), xmap),
+        pl.BlockSpec((*lead, K, tn), wmap(lambda i, j: (0, j))),
+        pl.BlockSpec((*lead, G, tn), wmap(lambda i, j: (0, j))),
+    ]
+    operands = [x, qt.planes[0], qt.scales]
+    has_zeros = qt.zeros is not None
+    if has_zeros:
+        in_specs.append(pl.BlockSpec((*lead, G, tn), wmap(lambda i, j: (0, j))))
+        operands.append(qt.zeros)
+        xs = x.astype(jnp.float32).reshape(M, G, g).sum(axis=2)  # [M, G]
+        in_specs.append(pl.BlockSpec((tm, G), xmap))
+        operands.append(xs)
+
+    kernel = functools.partial(
+        _qmm4_kernel, group_size=g, has_zeros=has_zeros,
+        out_dtype=out_dtype, stacked=stacked)
+    bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
+                      + M * N * np.dtype(out_dtype).itemsize)
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K, bytes_accessed=bytes_accessed,
+            transcendentals=0),
+        interpret=interpret,
+    )
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, l_ref: (i, j)))
+        return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+            jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        **common)(*operands)
+
+
+def _pick_decode_tiles(M, K, N, g):
+    """(tm, tn) for the native-int4 decode kernel, or None.
+
+    Single K stripe per grid step: K must be sublane-tileable for int4 and
+    small enough that the int4 block (K*tn/2 bytes) double-buffers in VMEM.
+    tn is the largest 128-multiple divisor of N under that cap. M caps at
+    16: beyond that the f32 MXU dot stops hiding under the HBM stream.
+    """
+    if M > 16 or K % 32 or K % g:
+        return None
+    cap = (4 << 20) * 2 // K  # int4 block ≤ 4 MB
+    for tn in (2048, 1024, 640, 512, 384, 256, 128):
+        if tn <= cap and N % tn == 0:
+            return _round_up(max(M, 8), 8), tn
+    return None
 
 
 def qmatmul_native(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
@@ -335,9 +461,23 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
 
     backend = jax.default_backend()
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+        use_pallas = (backend == "tpu" or force == "pallas"
+                      or interpret) and force != "xla"
+        dec = _pick_decode_tiles(M, K, qt.N, qt.group_size) if use_pallas \
+            else None
+        if dec is not None:
+            tm, tn = dec
+            x2g = gathered(x2)
+            Mp = _round_up(max(M, tm), tm)
+            xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+            out = _qmatmul4_pallas(xp.astype(jnp.bfloat16), qt, tm, tn,
+                                   out_dtype=out_dtype, interpret=interpret,
+                                   lidx=lidx)
+            if Mp != M:
+                out = out[:M]
+            return out.reshape(*lead, qt.N)
         tiles = (_pick_tiles(M, K, qt.N, qt.group_size, 4, "fp8__native")
-                 if (backend == "tpu" or force == "pallas" or interpret)
-                 and force != "xla" else None)
+                 if use_pallas else None)
         if tiles is not None:
             tm = tiles[0]
             x2g = gathered(x2)

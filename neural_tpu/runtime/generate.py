@@ -23,23 +23,30 @@ from .kvcache import init_cache
 from .sampling import SamplingParams, SamplerState, sample
 
 
-def prepare_params(params, native: bool = False, unroll: bool = False):
+def prepare_params(params, native: Optional[bool] = None,
+                   unroll: Optional[bool] = None):
     """Decode-loop preparation, called INSIDE the jit before the step scan:
 
-    1. convert 4-bit QTensors to native int4 codes (XLA's hardware int4→bf16
-       convert fused into the matmul beats VPU shift/mask unpacking), and
+    1. convert 4-bit QTensors to native int4 codes — the hardware int4→f32
+       convert feeding the f32-dequant Pallas decode kernel streams weights
+       at ~660 GB/s on v5e vs ~230 GB/s for shift/mask unpacking
+       (scripts/exp_kernels.py), and
     2. unstack the layer dict into per-layer tuples so the decode steps read
-       loop-invariant whole weight buffers (a lax.scan over stacked weights
-       re-materializes a sliced copy every step before each Pallas call).
+       loop-invariant whole weight buffers. This matters twice: a lax.scan
+       over stacked weights re-materializes a sliced copy every step before
+       each Pallas call, and even with prefetch-indexed stacked kernels,
+       XLA's while-loop memory pass sinks the scale stacks into the layer
+       scan's carry with alternating memory spaces — a measured 4.2 ms/tok
+       of staging copies on a 7B. Unrolled decode: 8.1 ms/tok vs 13.9
+       scanned vs 22.4 packed (llama2-7b q4_0, v5e).
 
     Both run once per jit invocation and hoist out of the decode scan.
-    ``native`` is OFF by default: the int4-plane Pallas kernel measured
-    ~309 GB/s in isolation (hardware int4->bf16 convert vs ~230 GB/s for
-    packed-u8 unpack) and passes in interpret mode, but on the real chip
-    the full-model stacked variant currently returns zeros — a Mosaic
-    int4-load issue to root-cause before enabling. ``unroll`` stays
-    opt-in.
+    Defaults (None) resolve to True on TPU, False elsewhere.
     """
+    if native is None:
+        native = jax.default_backend() == "tpu"
+    if unroll is None:
+        unroll = jax.default_backend() == "tpu"
     if native:
         params = jax.tree.map(
             lambda l: to_native(l) if isinstance(l, QTensor) else l,

@@ -120,3 +120,111 @@ def test_native_int4_stacked_lidx():
         out = np.asarray(qmatmul(x, stacked, out_dtype=jnp.float32,
                                  interpret=True, lidx=jnp.int32(l)))
         np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_multiblock_grid_stacked_lidx():
+    """Multi-block N and K grids (j,k > 1) with a stacked packed QTensor.
+
+    Regression test: the stacked path's output BlockSpec once reused the
+    x-operand index map (i, k) instead of (i, j) — invisible on (1,1,1)
+    grids, garbage on real models (wrong/never-written output tiles).
+    """
+    cfg = PRESETS["q4_0"]
+    K, N, L = 1536, 512, 3          # tk=512 -> k-grid 3, tn=256 -> j-grid 2
+    ws = [mk(i, (K, N)) for i in range(L)]
+    x = mk(9, (4, K), 1.0)
+    qts = [quantize(w, cfg) for w in ws]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+    for l in range(L):
+        ref = np.asarray(matmul_ref(x, qts[l], jnp.float32))
+        out = np.asarray(qmatmul(x, stacked, out_dtype=jnp.float32,
+                                 interpret=True, lidx=jnp.int32(l)))
+        np.testing.assert_allclose(out, ref, atol=0.05 + 0.02 * np.abs(ref).max(),
+                                   rtol=0.05)
+
+
+def test_multiblock_grid_native_stacked_lidx():
+    """Same multi-block regression check for the native-int4 stacked path."""
+    from neural_tpu.core import to_native
+    cfg = QuantConfig(bits=4, sym=True, group_size=32)
+    K, N, L = 1536, 512, 3
+    ws = [mk(i, (K, N)) for i in range(L)]
+    x = mk(9, (4, K), 1.0)
+    qts = [quantize(w, cfg) for w in ws]
+    native = [to_native(q) for q in qts]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *native)
+    for l in range(L):
+        ref = np.asarray(matmul_ref(x, qts[l], jnp.float32))
+        out = np.asarray(qmatmul(x, stacked, out_dtype=jnp.float32,
+                                 interpret=True, lidx=jnp.int32(l)))
+        np.testing.assert_allclose(out, ref, atol=0.05 + 0.02 * np.abs(ref).max(),
+                                   rtol=0.05)
+
+
+def test_multiblock_grid_unstacked():
+    check("q4_0", M=32, K=1536, N=512)
+
+
+# ---- native-int4 decode kernel (_qmatmul4_pallas) ----
+
+def _check_decode4(cfg, M=1, K=512, N=512, stacked=False, L=3, float_zeros=False):
+    from neural_tpu.core import to_native
+    ws = [mk(i, (K, N)) for i in range(L if stacked else 1)]
+    x = mk(9, (M, K), 1.0)
+    qts = [quantize(w, cfg) for w in ws]
+    if float_zeros:
+        from neural_tpu.core.qtensor import QTensor
+        qts = [QTensor(q.planes, q.scales,
+                       (q.zeros.astype(jnp.float32) + 0.25), q.perm, q.cfg)
+               for q in qts]
+    native = [to_native(q) for q in qts]
+    if stacked:
+        st = jax.tree.map(lambda *xs: jnp.stack(xs), *native)
+        for l in range(L):
+            ref = np.asarray(matmul_ref(x, qts[l], jnp.float32))
+            out = np.asarray(qmatmul(x, st, out_dtype=jnp.float32,
+                                     interpret=True, lidx=jnp.int32(l)))
+            np.testing.assert_allclose(
+                out, ref, atol=0.05 + 0.02 * np.abs(ref).max(), rtol=0.05)
+    else:
+        ref = np.asarray(matmul_ref(x, qts[0], jnp.float32))
+        out = np.asarray(qmatmul(x, native[0], out_dtype=jnp.float32,
+                                 interpret=True))
+        np.testing.assert_allclose(
+            out, ref, atol=0.05 + 0.02 * np.abs(ref).max(), rtol=0.05)
+
+
+def test_decode4_sym():
+    _check_decode4(QuantConfig(bits=4, sym=True, group_size=32))
+
+
+def test_decode4_asym_zero_comp():
+    """uint8 zero-points folded into the xs @ (z*s) compensation matmul."""
+    _check_decode4(QuantConfig(bits=4, sym=False, group_size=32))
+
+
+def test_decode4_float_zeros():
+    """GGUF Q4_1-style float zero-points through the compensation path."""
+    _check_decode4(QuantConfig(bits=4, sym=False, group_size=32),
+                   float_zeros=True)
+
+
+def test_decode4_stacked():
+    _check_decode4(QuantConfig(bits=4, sym=True, group_size=32), stacked=True)
+
+
+def test_decode4_stacked_asym():
+    _check_decode4(QuantConfig(bits=4, sym=False, group_size=32), stacked=True)
+
+
+def test_decode4_odd_group_count():
+    """K=352, g=32 -> G=11 rows: not sublane-aligned, Mosaic must pad."""
+    _check_decode4(QuantConfig(bits=4, sym=False, group_size=32), K=352)
+
+
+def test_decode4_m_up_to_16():
+    _check_decode4(QuantConfig(bits=4, sym=True, group_size=32), M=13)
+
+
+def test_decode4_g128():
+    _check_decode4(QuantConfig(bits=4, sym=False, group_size=128), K=1024)
