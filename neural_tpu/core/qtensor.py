@@ -148,7 +148,7 @@ class QTensor:
     @property
     def K(self) -> int:
         if self.cfg.kind.startswith("fp8") or \
-                self.planes[0].dtype in (jnp.int4, jnp.uint4):
+                self.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
             return self.planes[0].shape[-2]
         p0 = bit_planes(self.cfg.bits)[0]
         return self.planes[0].shape[-2] * (8 // p0) if p0 != 8 else \
@@ -274,10 +274,10 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
     g = qt.group_size
 
     if cfg.kind == "int":
-        if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+        if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
             codes = qt.planes[0].astype(jnp.int32)
             if cfg.sym:
-                codes = codes + 8          # back to unsigned code domain
+                codes = codes + (1 << (cfg.bits - 1))  # back to unsigned
         else:
             codes = unpack_codes(qt.planes, cfg.bits,
                                  pack_chunk(cfg, K))  # int32 [K, N]
@@ -310,21 +310,25 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def to_native(qt: QTensor) -> QTensor:
-    """Convert a packed 4-bit int QTensor to native int4/uint4 codes.
+    """Convert a packed int QTensor to native sub-/full-byte signed codes.
 
-    The resulting single plane is a [.., K, N] jnp.int4 (sym, centered) or
-    jnp.uint4 (asym) array: XLA's TPU backend has a hardware-efficient
-    int4→bf16 convert fused into matmuls, which beats shift/mask unpacking
-    for decode (VPU-bound). Call INSIDE a jit (ideally once, before a scan
-    over decode steps): int4 arrays cannot cross jit boundaries on some
-    runtimes. No-op for other kinds/widths.
+    4-bit → jnp.int4 (sym, centered) / jnp.uint4 (asym); 8-bit sym →
+    centered jnp.int8. The hardware intN→f32 convert feeding the decode
+    kernel's f32 dequant beats shift/mask unpacking for decode (VPU-bound;
+    measured 660 vs 230 GB/s on v5e). Call INSIDE a jit (ideally once,
+    before a scan over decode steps): int4 arrays cannot cross jit
+    boundaries on some runtimes. No-op for other kinds/widths.
     """
     cfg = qt.cfg
-    if cfg.kind != "int" or cfg.bits != 4 or qt.planes[0].dtype != jnp.uint8:
+    if cfg.kind != "int" or qt.planes[0].dtype != jnp.uint8:
+        return qt
+    if cfg.bits not in (4, 8) or (cfg.bits == 8 and not cfg.sym):
         return qt
     chunk = pack_chunk(cfg, qt.K)
 
     def unpack2d(plane):
+        if cfg.bits == 8:
+            return (plane.astype(jnp.int32) - 128).astype(jnp.int8)
         codes = unpack_codes((plane,), 4, chunk)           # int32 [K, N]
         if cfg.sym:
             return (codes - 8).astype(jnp.int4)
@@ -334,11 +338,24 @@ def to_native(qt: QTensor) -> QTensor:
     fn = unpack2d
     for _ in range(plane.ndim - 2):                        # L / E stacks
         fn = jax.vmap(fn)
-    return QTensor((fn(plane),), qt.scales, qt.zeros, qt.perm, cfg)
+    # Scales (and float zero-points) downcast to bf16 for the decode path:
+    # the decode kernel runs at the HBM roofline, where f32 scales at
+    # group_size 32 are 25% extra traffic on top of the int4 codes. bf16's
+    # ~0.2% scale rounding is far under the int code rounding error.
+    # (Mosaic has no f16; storage stays lossless f32 — this cast is local
+    # to the jit that runs decode.)
+    scales = qt.scales.astype(jnp.bfloat16)
+    zeros = qt.zeros
+    if zeros is not None and zeros.dtype != jnp.uint8:
+        zeros = zeros.astype(jnp.bfloat16)
+    return QTensor((fn(plane),), scales, zeros, qt.perm, cfg)
+
+
+NATIVE_DTYPES = (jnp.int4, jnp.uint4, jnp.int8)
 
 
 def is_native(qt: QTensor) -> bool:
-    return qt.planes[0].dtype in (jnp.int4, jnp.uint4)
+    return qt.planes[0].dtype in NATIVE_DTYPES
 
 
 def matmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:

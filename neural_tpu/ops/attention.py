@@ -197,10 +197,17 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
 
     def cmap(f):
         # cache block index map; stacked mode prepends the layer index,
-        # which arrives as the SECOND prefetched scalar (after lengths)
-        if stacked:
-            return lambda b, h, s, lens, l_ref: (l_ref[0], *f(b, h, s))
-        return lambda b, h, s, *_: f(b, h, s)
+        # which arrives as the SECOND prefetched scalar (after lengths).
+        # The S-block index is CLAMPED to the last block that holds valid
+        # keys (< lengths[b]): past it the map repeats the previous block,
+        # so Pallas skips the DMA entirely (the kernel already skips the
+        # compute) — attention HBM reads scale with the actual fill, not
+        # the allocated S.
+        def m(b, h, s, lens, *l_ref):
+            smax = jnp.maximum((lens[b] + blk_s - 1) // blk_s - 1, 0)
+            idx = f(b, h, jnp.minimum(s, smax))
+            return (l_ref[0][0], *idx) if stacked else idx
+        return m
 
     in_specs = [
         pl.BlockSpec((1, 1, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),

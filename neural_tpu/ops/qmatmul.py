@@ -61,7 +61,7 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
     """
     if cfg.kind.startswith("fp8"):
         vals = plane_tiles[0].astype(jnp.float32)
-    elif plane_tiles[0].dtype in (jnp.int4, jnp.uint4):
+    elif plane_tiles[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
         # native sub-byte plane: Mosaic's hardware int4 convert (no VPU
         # shift/mask unpacking) — measured ~1.5x the packed-u8 path
         vals = plane_tiles[0].astype(jnp.float32)
@@ -341,17 +341,18 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
         **common)(*operands)
 
 
-def _pick_decode_tiles(M, K, N, g):
-    """(tm, tn) for the native-int4 decode kernel, or None.
+def _pick_decode_tiles(M, K, N, g, code_bits=4):
+    """(tm, tn) for the native-code decode kernel, or None.
 
-    Single K stripe per grid step: K must be sublane-tileable for int4 and
-    small enough that the int4 block (K*tn/2 bytes) double-buffers in VMEM.
-    tn is the largest 128-multiple divisor of N under that cap. M caps at
-    16: beyond that the f32 MXU dot stops hiding under the HBM stream.
+    Single K stripe per grid step: K must be sublane-tileable and small
+    enough that the code block (K*tn*code_bits/8 bytes) double-buffers in
+    VMEM. tn is the largest 128-multiple divisor of N under that cap. M
+    caps at 16: beyond that the f32 MXU dot stops hiding under the HBM
+    stream.
     """
     if M > 16 or K % 32 or K % g:
         return None
-    cap = (4 << 20) * 2 // K  # int4 block ≤ 4 MB
+    cap = (4 << 20) * 8 // (K * code_bits)  # code block ≤ 4 MB
     for tn in (2048, 1024, 640, 512, 384, 256, 128):
         if tn <= cap and N % tn == 0:
             return _round_up(max(M, 8), 8), tn
@@ -460,11 +461,12 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         return jnp.take(x2, perm, axis=1)
 
     backend = jax.default_backend()
-    if qt.planes[0].dtype in (jnp.int4, jnp.uint4):
+    if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
+        code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4
         use_pallas = (backend == "tpu" or force == "pallas"
                       or interpret) and force != "xla"
-        dec = _pick_decode_tiles(M, K, qt.N, qt.group_size) if use_pallas \
-            else None
+        dec = _pick_decode_tiles(M, K, qt.N, qt.group_size, code_bits) \
+            if use_pallas else None
         if dec is not None:
             tm, tn = dec
             x2g = gathered(x2)

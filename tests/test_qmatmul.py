@@ -228,3 +228,18 @@ def test_decode4_m_up_to_16():
 
 def test_decode4_g128():
     _check_decode4(QuantConfig(bits=4, sym=False, group_size=128), K=1024)
+
+
+def test_decode8_sym_native():
+    """q8_0-style: centered int8 native codes through the decode kernel."""
+    from neural_tpu.core import to_native
+    cfg = QuantConfig(bits=8, sym=True, group_size=32)
+    w = mk(0, (512, 512))
+    x = mk(9, (1, 512), 1.0)
+    qt = quantize(w, cfg)
+    nat = to_native(qt)
+    assert nat.planes[0].dtype == jnp.int8
+    ref = np.asarray(matmul_ref(x, qt, jnp.float32))
+    out = np.asarray(qmatmul(x, nat, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=0.05 + 0.02 * np.abs(ref).max(),
+                               rtol=0.05)
