@@ -35,13 +35,51 @@ GGML_F32, GGML_F16 = 0, 1
 GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0 = 8
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
 GGML_I8, GGML_I16, GGML_I32 = 24, 25, 26
 GGML_BF16 = 30
 
-QK = 32  # ggml quantization block size
+QK = 32     # ggml legacy quantization block size
+QK_K = 256  # K-quant super-block size (data_types.h:125, block_q6_K :134)
 
 _BLOCK_BYTES = {GGML_Q4_0: 2 + 16, GGML_Q4_1: 4 + 16, GGML_Q5_0: 2 + 4 + 16,
-                GGML_Q5_1: 4 + 4 + 16, GGML_Q8_0: 2 + 32}
+                GGML_Q5_1: 4 + 4 + 16, GGML_Q8_0: 2 + 32,
+                # K-quants: super-blocks of 256
+                GGML_Q2_K: 16 + 64 + 2 + 2,          # scales,qs,d,dmin = 84
+                GGML_Q3_K: 32 + 64 + 12 + 2,         # hmask,qs,scales,d = 110
+                GGML_Q4_K: 2 + 2 + 12 + 128,         # d,dmin,scales,qs = 144
+                GGML_Q5_K: 2 + 2 + 12 + 32 + 128,    # + qh = 176
+                GGML_Q6_K: 128 + 64 + 16 + 2}        # ql,qh,scales,d = 210
+
+_BLOCK_ELEMS = {t: (QK_K if t in (GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K,
+                                  GGML_Q6_K) else QK)
+                for t in _BLOCK_BYTES}
+
+
+def _unpack_scmin_k4(s: np.ndarray):
+    """12 packed bytes → 8 six-bit scales + 8 six-bit mins per block.
+
+    Layout (ggml get_scale_min_k4): bytes 0-3 low-6 = sc[0..3], bytes 4-7
+    low-6 = mn[0..3]; bytes 8-11 nibbles + top-2 bits of bytes 0-7 hold
+    sc/mn[4..7]. s: [nb, 12] uint8 → (sc [nb, 8], mn [nb, 8]) int32.
+    """
+    s = s.astype(np.int32)
+    sc = np.empty((len(s), 8), np.int32)
+    mn = np.empty_like(sc)
+    sc[:, :4] = s[:, 0:4] & 63
+    mn[:, :4] = s[:, 4:8] & 63
+    sc[:, 4:] = (s[:, 8:12] & 0xF) | ((s[:, 0:4] >> 6) << 4)
+    mn[:, 4:] = (s[:, 8:12] >> 4) | ((s[:, 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _pack_scmin_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_unpack_scmin_k4`: ([nb,8], [nb,8]) → [nb,12]."""
+    out = np.empty((len(sc), 12), np.int32)
+    out[:, 0:4] = (sc[:, :4] & 63) | ((sc[:, 4:] >> 4) << 6)
+    out[:, 4:8] = (mn[:, :4] & 63) | ((mn[:, 4:] >> 4) << 6)
+    out[:, 8:12] = (sc[:, 4:] & 0xF) | ((mn[:, 4:] & 0xF) << 4)
+    return out.astype(np.uint8)
 
 
 class GGUFTensor:
@@ -130,7 +168,7 @@ class GGUFReader:
     def tensor_bytes(self, t: GGUFTensor) -> memoryview:
         n = int(np.prod(t.shape))
         if t.ggml_type in _BLOCK_BYTES:
-            nbytes = n // QK * _BLOCK_BYTES[t.ggml_type]
+            nbytes = n // _BLOCK_ELEMS[t.ggml_type] * _BLOCK_BYTES[t.ggml_type]
         else:
             itemsize = {GGML_F32: 4, GGML_F16: 2, GGML_BF16: 2, GGML_I8: 1,
                         GGML_I16: 2, GGML_I32: 4}[t.ggml_type]
@@ -153,24 +191,28 @@ class GGUFReader:
                 t.shape)
         if tt == GGML_I32:
             return raw.view(np.int32).reshape(t.shape).copy()
-        codes, d, m = self.unpack_quantized(name)
-        w = codes.astype(np.float32) * d.repeat(QK, -1).reshape(codes.shape)
+        codes, d, m, g = self.unpack_quantized(name)
+        w = codes.astype(np.float32) * np.repeat(d, g)
         if m is not None:
-            w = w + m.repeat(QK, -1).reshape(codes.shape)
+            w = w + np.repeat(m, g)
         return w.reshape(t.shape)
 
     def unpack_quantized(self, name: str):
-        """→ (codes [n] int, d [n/32] f32, m [n/32] f32 or None).
+        """→ (codes [n] int, scales [n/g] f32, mins [n/g] f32 or None, g).
 
-        Codes are ALREADY CENTERED for the sym types (Q4_0: q-8, Q5_0:
-        q-16, Q8_0: signed). Block layouts per ggml (data_types.h:80-140):
-        Q4 low nibbles = elements 0..15, high = 16..31.
+        Semantics: ``w = codes * scales (+ mins)`` over groups of ``g``
+        elements. Codes are ALREADY CENTERED for the sym types (Q4_0: q-8,
+        Q5_0: q-16, Q8_0/Q6_K/Q3_K: signed). For K-quants the super-block
+        scale structure (6-bit sub-scales × fp16 d/dmin) is folded into
+        per-group f32 scales/mins here; g is 32 (legacy, Q4_K, Q5_K) or 16
+        (Q2_K, Q3_K, Q6_K). Block layouts per ggml (data_types.h:80-140,
+        block_q6_K :134; dequant loops vectors/cpu/quantize.h:956).
         """
         t = self.tensors[name]
         raw = np.frombuffer(self.tensor_bytes(t), dtype=np.uint8).copy()
         n = int(np.prod(t.shape))
-        nb = n // QK
         tt = t.ggml_type
+        nb = n // _BLOCK_ELEMS[tt]
         blk = raw.reshape(nb, _BLOCK_BYTES[tt])
 
         def fp16(col):
@@ -182,12 +224,12 @@ class GGUFReader:
             q = blk[:, 2:18]
             lo, hi = q & 0xF, q >> 4
             codes = np.concatenate([lo, hi], 1).astype(np.int8) - 8
-            return codes.reshape(-1), d, None
+            return codes.reshape(-1), d, None, QK
         if tt == GGML_Q4_1:
             d, m = fp16(0), fp16(2)
             q = blk[:, 4:20]
             codes = np.concatenate([q & 0xF, q >> 4], 1).astype(np.int8)
-            return codes.reshape(-1), d, m
+            return codes.reshape(-1), d, m, QK
         if tt in (GGML_Q5_0, GGML_Q5_1):
             off = 2 if tt == GGML_Q5_0 else 4
             d = fp16(0)
@@ -200,11 +242,74 @@ class GGUFReader:
             codes = lo | (hibits << 4)
             if tt == GGML_Q5_0:
                 codes = codes - 16
-            return codes.reshape(-1), d, m
+            return codes.reshape(-1), d, m, QK
         if tt == GGML_Q8_0:
             d = fp16(0)
             codes = blk[:, 2:34].view(np.int8)
-            return codes.reshape(-1).copy(), d, None
+            return codes.reshape(-1).copy(), d, None, QK
+        if tt == GGML_Q2_K:
+            # scales[16] (lo nibble: 4-bit scale, hi: 4-bit min), qs[64],
+            # d, dmin. Element e = 128*chunk + 32*shift + l; group = e//16.
+            sc = blk[:, :16].astype(np.int32)
+            qs = blk[:, 16:80].astype(np.int32).reshape(nb, 2, 32)
+            d, dmin = fp16(80), fp16(82)
+            sh = (2 * np.arange(4))[None, None, :, None]
+            codes = ((qs[:, :, None, :] >> sh) & 3).reshape(nb, QK_K)
+            scales = (d[:, None] * (sc & 0xF)).reshape(-1)
+            mins = (-dmin[:, None] * (sc >> 4)).reshape(-1)
+            return codes.reshape(-1), scales, mins, 16
+        if tt == GGML_Q3_K:
+            # hmask[32], qs[64], scales[12] (16 packed 6-bit, signed -32),
+            # d. 2-bit low code + (hmask bit ? 0 : -4) → centered -4..3.
+            hm = blk[:, :32].astype(np.int32)
+            qs = blk[:, 32:96].astype(np.int32).reshape(nb, 2, 32)
+            sb = blk[:, 96:108].astype(np.int32)
+            d = fp16(108)
+            sh = (2 * np.arange(4))[None, None, :, None]
+            low = (qs[:, :, None, :] >> sh) & 3                # [nb,2,4,32]
+            bit = (4 * np.arange(2)[:, None, None]
+                   + np.arange(4)[None, :, None])              # [2,4,1]
+            h = (hm[:, None, None, :] >> bit[None]) & 1
+            codes = (low - np.where(h != 0, 0, 4)).reshape(nb, QK_K)
+            sc = np.empty((nb, 16), np.int32)
+            sc[:, 0:4] = (sb[:, 0:4] & 0xF) | (((sb[:, 8:12] >> 0) & 3) << 4)
+            sc[:, 4:8] = (sb[:, 4:8] & 0xF) | (((sb[:, 8:12] >> 2) & 3) << 4)
+            sc[:, 8:12] = (sb[:, 0:4] >> 4) | (((sb[:, 8:12] >> 4) & 3) << 4)
+            sc[:, 12:16] = (sb[:, 4:8] >> 4) | (((sb[:, 8:12] >> 6) & 3) << 4)
+            scales = (d[:, None] * (sc - 32)).reshape(-1)
+            return codes.reshape(-1), scales, None, 16
+        if tt in (GGML_Q4_K, GGML_Q5_K):
+            # d, dmin, scales[12] (8×6-bit scale + 8×6-bit min), [qh[32]],
+            # qs[128]. Per 64-chunk: low nibbles = first 32, high = next 32.
+            d, dmin = fp16(0), fp16(2)
+            sc6, mn6 = _unpack_scmin_k4(blk[:, 4:16])
+            off = 16 if tt == GGML_Q4_K else 48
+            qs = blk[:, off:off + 128].astype(np.int32).reshape(nb, 4, 32)
+            lo, hi = qs & 0xF, qs >> 4
+            if tt == GGML_Q5_K:
+                qh = blk[:, 16:48].astype(np.int32)
+                c = np.arange(4)
+                b1 = (qh[:, None, :] >> (2 * c)[None, :, None]) & 1
+                b2 = (qh[:, None, :] >> (2 * c + 1)[None, :, None]) & 1
+                lo, hi = lo + 16 * b1, hi + 16 * b2
+            codes = np.stack([lo, hi], axis=2).reshape(nb, QK_K)
+            scales = (d[:, None] * sc6).reshape(-1)
+            mins = (-dmin[:, None] * mn6).reshape(-1)
+            return codes.reshape(-1), scales, mins, QK
+        if tt == GGML_Q6_K:
+            # ql[128], qh[64], scales[16] int8, d; centered -32..31
+            # (reference dequantize_row_q6_K, vectors/cpu/quantize.h:956).
+            ql = blk[:, :128].astype(np.int32).reshape(nb, 2, 64)
+            qh = blk[:, 128:192].astype(np.int32).reshape(nb, 2, 32)
+            sc = blk[:, 192:208].view(np.int8).astype(np.int32)
+            d = fp16(208)
+            q1 = (ql[:, :, 0:32] & 0xF) | (((qh >> 0) & 3) << 4)
+            q2 = (ql[:, :, 32:64] & 0xF) | (((qh >> 2) & 3) << 4)
+            q3 = (ql[:, :, 0:32] >> 4) | (((qh >> 4) & 3) << 4)
+            q4 = (ql[:, :, 32:64] >> 4) | (((qh >> 6) & 3) << 4)
+            codes = np.stack([q1, q2, q3, q4], axis=2).reshape(nb, QK_K) - 32
+            scales = (d[:, None] * sc).reshape(-1)
+            return codes.reshape(-1), scales, None, 16
         raise ValueError(f"unsupported ggml type {tt}")
 
     def close(self):
@@ -218,7 +323,8 @@ class GGUFReader:
 
 
 # ---------------------------------------------------------------------------
-# Writer (minimal: F32/F16/Q4_0 — the reference converter's main outputs)
+# Writer (F32/F16/Q4_0/Q4_K/Q6_K — the reference converter's main outputs
+# plus the dominant llama.cpp-ecosystem K-quant export types)
 # ---------------------------------------------------------------------------
 
 
@@ -232,11 +338,64 @@ def _pack_q4_0(w: np.ndarray) -> bytes:
     q = np.clip(np.round(flat * inv[:, None]) + 8, 0, 15).astype(np.uint8)
     lo, hi = q[:, :16], q[:, 16:]
     packed = (lo | (hi << 4)).astype(np.uint8)
-    out = bytearray()
-    d16 = d.astype(np.float16)
-    for i in range(len(flat)):
-        out += d16[i].tobytes() + packed[i].tobytes()
-    return bytes(out)
+    d16 = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    return np.concatenate([d16, packed], axis=1).tobytes()
+
+
+def _pack_q6_k(w: np.ndarray) -> bytes:
+    """f32 → ggml Q6_K super-blocks (RTN; 16 groups of 16, 6-bit codes ×
+    int8 sub-scales × fp16 super-scale — block_q6_K data_types.h:134)."""
+    flat = w.reshape(-1, QK_K).astype(np.float32)
+    nb = len(flat)
+    g = flat.reshape(nb, 16, 16)
+    gscale = np.abs(g).max(axis=2) / 31.0                      # [nb, 16]
+    d = gscale.max(axis=1) / 127.0                             # [nb]
+    dsafe = np.where(d == 0, 1.0, d)
+    sc = np.clip(np.round(gscale / dsafe[:, None]), 0, 127)    # [nb, 16]
+    eff = d[:, None, None] * sc[:, :, None]
+    q = np.clip(np.round(g / np.where(eff == 0, 1.0, eff)), -32, 31)
+    L = (q.reshape(nb, QK_K) + 32).astype(np.int32)            # 0..63
+    Lc = L.reshape(nb, 2, 128)                                 # 128-chunks
+    ql = np.empty((nb, 2, 64), np.int32)
+    # element pairing per dequant loop: ql[l] = L[l] | L[l+64]<<4,
+    # ql[l+32] = L[l+32] | L[l+96]<<4; qh[l] packs the top 2 bits of all 4.
+    ql[:, :, 0:32] = (Lc[:, :, 0:32] & 0xF) | ((Lc[:, :, 64:96] & 0xF) << 4)
+    ql[:, :, 32:64] = (Lc[:, :, 32:64] & 0xF) | ((Lc[:, :, 96:128] & 0xF) << 4)
+    qh = ((Lc[:, :, 0:32] >> 4) | ((Lc[:, :, 32:64] >> 4) << 2)
+          | ((Lc[:, :, 64:96] >> 4) << 4) | ((Lc[:, :, 96:128] >> 4) << 6))
+    blk = np.empty((nb, _BLOCK_BYTES[GGML_Q6_K]), np.uint8)
+    blk[:, :128] = ql.reshape(nb, 128)
+    blk[:, 128:192] = qh.reshape(nb, 64)
+    blk[:, 192:208] = sc.astype(np.int8).view(np.uint8)
+    blk[:, 208:210] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    return blk.tobytes()
+
+
+def _pack_q4_k(w: np.ndarray) -> bytes:
+    """f32 → ggml Q4_K super-blocks (RTN; 8 groups of 32, 4-bit codes with
+    6-bit sub-scale/min × fp16 d/dmin: w ≈ d·sc·q − dmin·m)."""
+    flat = w.reshape(-1, QK_K).astype(np.float32)
+    nb = len(flat)
+    g = flat.reshape(nb, 8, 32)
+    gmin = np.maximum(-g.min(axis=2), 0.0)                     # m ≥ 0
+    gscale = np.maximum(g.max(axis=2) + gmin, 0.0) / 15.0      # s ≥ 0
+    d = gscale.max(axis=1) / 63.0
+    dmin = gmin.max(axis=1) / 63.0
+    sc6 = np.clip(np.round(gscale / np.where(d == 0, 1, d)[:, None]), 0, 63)
+    mn6 = np.clip(np.round(gmin / np.where(dmin == 0, 1, dmin)[:, None]),
+                  0, 63)
+    eff_s = d[:, None, None] * sc6[:, :, None]
+    eff_m = dmin[:, None, None] * mn6[:, :, None]
+    q = np.clip(np.round((g + eff_m) / np.where(eff_s == 0, 1.0, eff_s)),
+                0, 15).astype(np.int32)
+    qc = q.reshape(nb, 4, 64)                                  # 64-chunks
+    qs = (qc[:, :, :32] | (qc[:, :, 32:] << 4)).reshape(nb, 128)
+    blk = np.empty((nb, _BLOCK_BYTES[GGML_Q4_K]), np.uint8)
+    blk[:, 0:2] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    blk[:, 2:4] = dmin.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    blk[:, 4:16] = _pack_scmin_k4(sc6.astype(np.int32), mn6.astype(np.int32))
+    blk[:, 16:144] = qs
+    return blk.tobytes()
 
 
 class GGUFWriter:
@@ -269,9 +428,18 @@ class GGUFWriter:
             data = w.astype(np.float16).tobytes()
         elif ggml_type == GGML_Q4_0:
             data = _pack_q4_0(w)
+        elif ggml_type == GGML_Q4_K:
+            data = _pack_q4_k(w)
+        elif ggml_type == GGML_Q6_K:
+            data = _pack_q6_k(w)
         else:
             raise ValueError(ggml_type)
         self.tensors.append((name, w.shape, ggml_type, data))
+
+    def add_tensor_raw(self, name: str, shape: tuple, ggml_type: int,
+                       data: bytes):
+        """Pre-encoded tensor payload (lossless repack of read blocks)."""
+        self.tensors.append((name, tuple(shape), ggml_type, data))
 
     @staticmethod
     def _enc_str(s: str) -> bytes:

@@ -20,10 +20,12 @@ from ..core.dtypes import QuantConfig
 from ..core.qtensor import QTensor, pack_codes
 from ..models.config import ModelConfig
 from .gguf import (GGUFReader, GGUFWriter, GGML_F16, GGML_F32, GGML_Q4_0,
-                   GGML_Q4_1, GGML_Q5_0, GGML_Q5_1, GGML_Q8_0, QK)
+                   GGML_Q4_1, GGML_Q5_0, GGML_Q5_1, GGML_Q8_0, GGML_Q2_K,
+                   GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K, QK)
 from .hf import _add_aux
 
-_QUANT_TYPES = {GGML_Q4_0, GGML_Q4_1, GGML_Q5_0, GGML_Q5_1, GGML_Q8_0}
+_QUANT_TYPES = {GGML_Q4_0, GGML_Q4_1, GGML_Q5_0, GGML_Q5_1, GGML_Q8_0,
+                GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K}
 
 # our param name → gguf tensor name (llama family)
 _LAYER_MAP = {
@@ -72,24 +74,28 @@ def _qtensor_from_gguf(r: GGUFReader, name: str) -> QTensor:
     ([K=in, N=out] layout with 32-groups along K)."""
     t = r.tensors[name]
     out_f, in_f = t.shape
-    codes, d, m = r.unpack_quantized(name)
+    codes, d, m, g = r.unpack_quantized(name)
     tt = t.ggml_type
     bits = {GGML_Q4_0: 4, GGML_Q4_1: 4, GGML_Q5_0: 5, GGML_Q5_1: 5,
-            GGML_Q8_0: 8}[tt]
+            GGML_Q8_0: 8, GGML_Q2_K: 2, GGML_Q3_K: 3, GGML_Q4_K: 4,
+            GGML_Q5_K: 5, GGML_Q6_K: 6}[tt]
     sym = m is None
     half = 1 << (bits - 1)
     # centered codes (sym) or raw codes (asym) → unsigned storage domain
     ucodes = codes.astype(np.int32) + (half if sym else 0)
     ucodes = ucodes.reshape(out_f, in_f).T                   # [K, N]
-    scales = d.reshape(out_f, in_f // QK).T.astype(np.float32)  # [G, N]
     if sym:
+        scales = d
         zeros = None
     else:
-        # w = q*d + m  ==  (q - (-m/d)) * d  → float zero-point
-        zeros = (-m / np.where(d == 0, 1, d)).reshape(
-            out_f, in_f // QK).T.astype(np.float32)
-    cfg = QuantConfig(bits=bits, kind="int", group_size=QK, sym=sym)
-    planes = pack_codes(jnp.asarray(ucodes), bits, QK)
+        # w = q*d + m  ==  (q - (-m/d)) * d  → float zero-point. Groups
+        # with d == 0 but m != 0 (constant groups) get a tiny stand-in
+        # scale so (q - z)*eps still reproduces m (error ≤ 3·eps).
+        scales = np.where(d == 0, 1e-10, d)
+        zeros = (-m / scales).reshape(out_f, in_f // g).T.astype(np.float32)
+    scales = scales.reshape(out_f, in_f // g).T.astype(np.float32)  # [G, N]
+    cfg = QuantConfig(bits=bits, kind="int", group_size=g, sym=sym)
+    planes = pack_codes(jnp.asarray(ucodes), bits, g)
     return QTensor(planes, jnp.asarray(scales),
                    None if zeros is None else jnp.asarray(zeros),
                    None, cfg)

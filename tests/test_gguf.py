@@ -86,3 +86,250 @@ def test_export_load_q4_0_lossless_repack(tmp_path):
     out = greedy_generate(params, cfg, [3, 7, 9], max_new_tokens=5,
                           stop_at_eos=False)
     assert len(out) == 8
+
+
+# ---------------------------------------------------------------------------
+# K-quants (Q2_K..Q6_K). Scalar oracles below are independent per-element
+# loops written directly from the ggml block spec (reference
+# data_types.h:120-144, vectors/cpu/quantize.h:956 dequantize_row_q6_K);
+# the reader's vectorized unpack must match them bit-exactly.
+# ---------------------------------------------------------------------------
+
+from neural_tpu.convert.gguf import (
+    GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K,
+    _BLOCK_BYTES, _pack_q4_k, _pack_q6_k, QK_K)
+
+
+def _get_scale_min_k4(j, q):
+    if j < 4:
+        return int(q[j]) & 63, int(q[j + 4]) & 63
+    d = (int(q[j + 4]) & 0xF) | ((int(q[j - 4]) >> 6) << 4)
+    m = (int(q[j + 4]) >> 4) | ((int(q[j]) >> 6) << 4)
+    return d, m
+
+
+def _f16(b):
+    return float(np.frombuffer(bytes(b[:2]), np.float16)[0])
+
+
+def _deq_q4k_scalar(blk):
+    d, dmin = _f16(blk[0:2]), _f16(blk[2:4])
+    sb, qs = blk[4:16], blk[16:144]
+    y = np.zeros(QK_K, np.float32)
+    isb, qoff = 0, 0
+    for j in range(0, QK_K, 64):
+        sc1, m1 = _get_scale_min_k4(isb + 0, sb)
+        sc2, m2 = _get_scale_min_k4(isb + 1, sb)
+        for l in range(32):
+            y[j + l] = d * sc1 * (int(qs[qoff + l]) & 0xF) - dmin * m1
+            y[j + 32 + l] = d * sc2 * (int(qs[qoff + l]) >> 4) - dmin * m2
+        isb += 2
+        qoff += 32
+    return y
+
+
+def _deq_q5k_scalar(blk):
+    d, dmin = _f16(blk[0:2]), _f16(blk[2:4])
+    sb, qh, qs = blk[4:16], blk[16:48], blk[48:176]
+    y = np.zeros(QK_K, np.float32)
+    isb, qoff, u1, u2 = 0, 0, 1, 2
+    for j in range(0, QK_K, 64):
+        sc1, m1 = _get_scale_min_k4(isb + 0, sb)
+        sc2, m2 = _get_scale_min_k4(isb + 1, sb)
+        for l in range(32):
+            h1 = 16 if int(qh[l]) & u1 else 0
+            h2 = 16 if int(qh[l]) & u2 else 0
+            y[j + l] = d * sc1 * ((int(qs[qoff + l]) & 0xF) + h1) - dmin * m1
+            y[j + 32 + l] = d * sc2 * ((int(qs[qoff + l]) >> 4) + h2) \
+                - dmin * m2
+        isb += 2
+        qoff += 32
+        u1 <<= 2
+        u2 <<= 2
+    return y
+
+
+def _deq_q6k_scalar(blk):
+    ql, qh = blk[:128], blk[128:192]
+    sc = np.frombuffer(bytes(blk[192:208]), np.int8)
+    d = _f16(blk[208:210])
+    y = np.zeros(QK_K, np.float32)
+    for n in range(0, QK_K, 128):
+        lo, ho, so = n // 2, n // 4, n // 16
+        for l in range(32):
+            i16 = l // 16
+            q1 = ((int(ql[lo + l]) & 0xF) | (((int(qh[ho + l]) >> 0) & 3) << 4)) - 32
+            q2 = ((int(ql[lo + l + 32]) & 0xF) | (((int(qh[ho + l]) >> 2) & 3) << 4)) - 32
+            q3 = ((int(ql[lo + l]) >> 4) | (((int(qh[ho + l]) >> 4) & 3) << 4)) - 32
+            q4 = ((int(ql[lo + l + 32]) >> 4) | (((int(qh[ho + l]) >> 6) & 3) << 4)) - 32
+            y[n + l] = d * int(sc[so + i16]) * q1
+            y[n + l + 32] = d * int(sc[so + i16 + 2]) * q2
+            y[n + l + 64] = d * int(sc[so + i16 + 4]) * q3
+            y[n + l + 96] = d * int(sc[so + i16 + 6]) * q4
+    return y
+
+
+def _deq_q2k_scalar(blk):
+    sb, qs = blk[:16], blk[16:80]
+    d, dmin = _f16(blk[80:82]), _f16(blk[82:84])
+    y = np.zeros(QK_K, np.float32)
+    yo, isb, qoff = 0, 0, 0
+    for n in range(0, QK_K, 128):
+        shift = 0
+        for j in range(4):
+            sc = int(sb[isb]); isb += 1
+            dl, ml = d * (sc & 0xF), dmin * (sc >> 4)
+            for l in range(16):
+                y[yo] = dl * ((int(qs[qoff + l]) >> shift) & 3) - ml
+                yo += 1
+            sc = int(sb[isb]); isb += 1
+            dl, ml = d * (sc & 0xF), dmin * (sc >> 4)
+            for l in range(16, 32):
+                y[yo] = dl * ((int(qs[qoff + l]) >> shift) & 3) - ml
+                yo += 1
+            shift += 2
+        qoff += 32
+    return y
+
+
+def _deq_q3k_scalar(blk):
+    hm, qs, sb = blk[:32], blk[32:96], blk[96:108]
+    d = _f16(blk[108:110])
+    # 16 six-bit signed scales via the kmask shuffle
+    aux = np.frombuffer(bytes(sb), np.uint32).copy()
+    tmp = int(aux[2])
+    a = [0, 0, 0, 0]
+    a[0] = (int(aux[0]) & 0x0f0f0f0f) | (((tmp >> 0) & 0x03030303) << 4)
+    a[1] = (int(aux[1]) & 0x0f0f0f0f) | (((tmp >> 2) & 0x03030303) << 4)
+    a[2] = ((int(aux[0]) >> 4) & 0x0f0f0f0f) | (((tmp >> 4) & 0x03030303) << 4)
+    a[3] = ((int(aux[1]) >> 4) & 0x0f0f0f0f) | (((tmp >> 6) & 0x03030303) << 4)
+    scales = np.frombuffer(np.asarray(a, np.uint32).tobytes(), np.int8)
+    y = np.zeros(QK_K, np.float32)
+    yo, isb, qoff, m = 0, 0, 0, 1
+    for n in range(0, QK_K, 128):
+        shift = 0
+        for j in range(4):
+            dl = d * (int(scales[isb]) - 32); isb += 1
+            for l in range(16):
+                q = ((int(qs[qoff + l]) >> shift) & 3) \
+                    - (0 if int(hm[l]) & m else 4)
+                y[yo] = dl * q; yo += 1
+            dl = d * (int(scales[isb]) - 32); isb += 1
+            for l in range(16, 32):
+                q = ((int(qs[qoff + l]) >> shift) & 3) \
+                    - (0 if int(hm[l]) & m else 4)
+                y[yo] = dl * q; yo += 1
+            shift += 2
+            m <<= 1
+        qoff += 32
+    return y
+
+
+_SCALAR_ORACLES = {GGML_Q2_K: _deq_q2k_scalar, GGML_Q3_K: _deq_q3k_scalar,
+                   GGML_Q4_K: _deq_q4k_scalar, GGML_Q5_K: _deq_q5k_scalar,
+                   GGML_Q6_K: _deq_q6k_scalar}
+
+
+def _random_kquant_blocks(tt, nb, rng):
+    """Random block bytes with sane fp16 scale fields (no inf/nan)."""
+    blk = rng.integers(0, 256, (nb, _BLOCK_BYTES[tt]), dtype=np.uint8)
+    scl = rng.uniform(0.001, 0.1, (nb,)).astype(np.float16)
+    if tt in (GGML_Q4_K, GGML_Q5_K):
+        blk[:, 0:2] = scl.reshape(-1, 1).view(np.uint8)
+        blk[:, 2:4] = rng.uniform(0.001, 0.1, (nb,)).astype(
+            np.float16).reshape(-1, 1).view(np.uint8)
+    elif tt == GGML_Q6_K:
+        blk[:, 208:210] = scl.reshape(-1, 1).view(np.uint8)
+    elif tt == GGML_Q2_K:
+        blk[:, 80:82] = scl.reshape(-1, 1).view(np.uint8)
+        blk[:, 82:84] = rng.uniform(0.001, 0.1, (nb,)).astype(
+            np.float16).reshape(-1, 1).view(np.uint8)
+    elif tt == GGML_Q3_K:
+        blk[:, 108:110] = scl.reshape(-1, 1).view(np.uint8)
+    return blk
+
+
+@pytest.mark.parametrize("tt", [GGML_Q2_K, GGML_Q3_K, GGML_Q4_K,
+                                GGML_Q5_K, GGML_Q6_K])
+def test_kquant_reader_matches_scalar_oracle(tt, tmp_path):
+    rng = np.random.default_rng(int(tt))
+    out_f, in_f = 4, 512
+    nb = out_f * in_f // QK_K
+    blk = _random_kquant_blocks(tt, nb, rng)
+
+    p = str(tmp_path / "k.gguf")
+    w = GGUFWriter(p)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor_raw("t", (out_f, in_f), tt, blk.tobytes())
+    w.write()
+    r = GGUFReader(p)
+    got = r.dequantize("t").reshape(-1)
+    ref = np.concatenate([_SCALAR_ORACLES[tt](blk[i]) for i in range(nb)])
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    r.close()
+
+
+@pytest.mark.parametrize("tt", [GGML_Q2_K, GGML_Q3_K, GGML_Q4_K,
+                                GGML_Q5_K, GGML_Q6_K])
+def test_kquant_qtensor_lossless_repack(tt, tmp_path):
+    """GGUF K-quant blocks → QTensor must dequantize to the same values."""
+    rng = np.random.default_rng(100 + int(tt))
+    out_f, in_f = 8, 512
+    nb = out_f * in_f // QK_K
+    blk = _random_kquant_blocks(tt, nb, rng)
+    p = str(tmp_path / "k.gguf")
+    w = GGUFWriter(p)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor_raw("t", (out_f, in_f), tt, blk.tobytes())
+    w.write()
+    r = GGUFReader(p)
+    from neural_tpu.convert.gguf_models import _qtensor_from_gguf
+    qt = _qtensor_from_gguf(r, "t")
+    ref = r.dequantize("t").T          # [K, N]
+    got = np.asarray(dequantize(qt))
+    # sym types repack exactly; asym float-zero roundtrip (z = -m/s) costs
+    # one rounding step
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    r.close()
+
+
+@pytest.mark.parametrize("tt", [GGML_Q4_K, GGML_Q6_K])
+def test_kquant_write_read_roundtrip(tt, tmp_path):
+    """Our RTN K-quant encoders: reconstruction error bounded by one step."""
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((8, 512)).astype(np.float32) * 0.05
+    p = str(tmp_path / "w.gguf")
+    w = GGUFWriter(p)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor("t", a, tt)
+    w.write()
+    r = GGUFReader(p)
+    got = r.dequantize("t")
+    g = 32 if tt == GGML_Q4_K else 16
+    steps = (a.reshape(-1, g).max(1) - a.reshape(-1, g).min(1)) / (
+        15 if tt == GGML_Q4_K else 62)
+    err = np.abs(got - a).reshape(-1, g)
+    # one quantization step per group, plus 6-bit scale rounding slack
+    assert np.all(err <= steps[:, None] * 1.2 + 1e-5), err.max()
+    r.close()
+
+
+def test_export_load_q6_k_end_to_end(tmp_path):
+    # K-quant super-blocks need in_features % 256 == 0
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=256)
+    torch.manual_seed(0)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    p = str(tmp_path / "m6.gguf")
+    export_gguf(m, p, ggml_type=GGML_Q6_K)
+    params, cfg = load_gguf(p, dtype=jnp.float32)
+    prompt = np.asarray([[3, 17, 91, 4, 120]], np.int32)
+    ours = np.asarray(batch_logits(params, cfg, prompt))[0]
+    with torch.no_grad():
+        ref = m(torch.tensor(prompt.tolist())).logits[0].numpy()
+    # 6.5-bit weights: logits close to fp32 reference
+    cos = np.sum(ours * ref, -1) / (
+        np.linalg.norm(ours, axis=-1) * np.linalg.norm(ref, axis=-1))
+    assert np.all(cos > 0.99), cos
