@@ -129,7 +129,7 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
 
 def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
                lidx, start, positions, inv_freqs, slopes, tp_axis=None,
-               sliding=None):
+               sliding=None, table=None):
     """x: [B, T, D]; k_all/v_all: FULL stacked caches [L, B, Hkv, S, Dh]
     (head-major, bf16 or int8 with scales [L, B, Hkv, 8, S]); ``lidx`` is
     this layer's index; start: [B] int32.
@@ -171,6 +171,20 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     # select (measured 4.2 ms/tok of copies on a 7B, ~30% of decode).
     kt = k.transpose(0, 2, 1, 3)                     # [B, Hkv, T, Dh]
     vt = v.transpose(0, 2, 1, 3)
+    if table is not None:
+        # paged pool [(L,) P, Hkv, ps, Dh]: page-table writes + paged
+        # attention (ops/paged_attention.py)
+        from ..ops.paged_attention import paged_update_kv, attend_paged
+        k_all, v_all, ks_all, vs_all = paged_update_kv(
+            k_all, v_all, ks_all, vs_all, kt, vt, table, start, lidx)
+        out = attend_paged(q, k_all, v_all, ks_all, vs_all, table, positions,
+                           cfg, slopes=slopes, sliding=sliding,
+                           lidx=lidx).astype(x.dtype)
+        out = linear(out, lp["wo"], lidx=lidx)
+        out = _psum(out, tp_axis)
+        if lp.get("bo") is not None:
+            out = out + lp["bo"].astype(out.dtype)
+        return out, k_all, v_all, ks_all, vs_all
     if ks_all is not None:  # int8 KV (reference packed int8 KV layouts)
         kt, ks_new = quantize_kv(kt)                 # scales [B, Hkv, T]
         vt, vs_new = quantize_kv(vt)
@@ -210,11 +224,13 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
 
 
 def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
-           lidx, start, positions, inv_freqs, slopes, tp_axis=None):
+           lidx, start, positions, inv_freqs, slopes, tp_axis=None,
+           table=None):
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
     attn_out, k_all, v_all, ks_all, vs_all = _attention(
         h, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start, positions,
-        inv_freqs, slopes, tp_axis, sliding=lp.get("use_sliding"))
+        inv_freqs, slopes, tp_axis, sliding=lp.get("use_sliding"),
+        table=table)
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
                          lp.get("post_attn_norm_b"), cfg)
@@ -250,6 +266,7 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     k_all, v_all = cache[0], cache[1]
     ks_all = cache.k_scale if hasattr(cache, "k_scale") else None
     vs_all = cache.v_scale if hasattr(cache, "v_scale") else None
+    table = getattr(cache, "table", None)  # paged pool (runtime/paged.py)
     B, T = tokens.shape
     positions = start[:, None] + jnp.arange(T)[None, :]        # [B, T]
 
@@ -294,7 +311,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
         for l, lp in enumerate(params["layers"]):
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all,
-                jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis)
+                jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis,
+                table)
     else:
         layers = params["layers"]
         L = jax.tree.leaves(layers)[0].shape[0]
@@ -304,7 +322,7 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             lp = make_lp(layers, lidx)
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
-                positions, inv_freqs, slopes, tp_axis)
+                positions, inv_freqs, slopes, tp_axis, table)
             return (x, k_all, v_all, ks_all, vs_all), None
 
         (x, k_all, v_all, ks_all, vs_all), _ = jax.lax.scan(
@@ -326,4 +344,9 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     logits = logits.astype(jnp.float32)
     if cfg.logit_softcap:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
-    return logits.astype(logits_dtype), KVCache(k_all, v_all, ks_all, vs_all)
+    if table is not None:
+        from ..runtime.paged import PagedKVCache
+        new_cache = PagedKVCache(k_all, v_all, ks_all, vs_all, table)
+    else:
+        new_cache = KVCache(k_all, v_all, ks_all, vs_all)
+    return logits.astype(logits_dtype), new_cache

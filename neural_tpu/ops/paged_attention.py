@@ -1,0 +1,230 @@
+"""Paged-KV attention: page-table indirection at the DMA level.
+
+The decode kernel reuses the flash online-softmax body of
+``ops.attention._decode_kernel`` unchanged; only the *block index maps*
+differ — each S-block's physical location comes from a prefetched page
+table (``table[b, p]``), and pages past a sequence's fill are clamped to
+the last valid page so their DMAs are elided (same fill-proportional trick
+as the contiguous kernel). This is the TPU-native analog of the
+reference's packed per-context KV views (mha_dense.h:24-150) generalized
+to a shared page pool: indirection costs index-map scalar reads, not data
+movement.
+
+Layouts (runtime/paged.py): pools ``[(L,) P, Hkv, ps, Dh]``, int8 scales
+``[(L,) P, Hkv, 8, ps]``, table ``[B, MAXP]`` int32, logical position of
+page ordinal p = ``p*ps + row``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import _decode_kernel, attend_xla, quantize_kv
+
+
+def _paged_decode_kernel(lens_ref, table_ref, *refs, **kw):
+    # table_ref is consumed only by the block index maps
+    del table_ref
+    _decode_kernel(lens_ref, *refs, **kw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("softcap", "scale", "window", "interpret"))
+def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
+                       softcap=0.0, scale=None, window=0, interpret=False,
+                       lidx=None):
+    """q: [B, Hq, Dh]; pools [(L,) P, Hkv, ps, Dh] (+ scales) with ``lidx``
+    selecting the layer when stacked; table [B, MAXP] int32; lengths [B].
+    → [B, Hq, Dh] f32."""
+    B, Hq, Dh = q.shape
+    stacked = k_pool.ndim == 5
+    Hkv, ps = k_pool.shape[-3], k_pool.shape[-2]
+    MAXP = table.shape[1]
+    G = Hq // Hkv
+    G8 = max(8, G)
+    scale = Dh ** -0.5 if scale is None else float(scale)
+    kv_int8 = k_scale is not None
+    assert stacked == (lidx is not None)
+    lead = (1,) if stacked else ()
+
+    qg = q.reshape(B, Hkv, G, Dh)
+    if G8 != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
+
+    def cmap(f):
+        # physical page = table[b, min(p, last-filled-page)]: ordinals past
+        # the fill repeat the previous block → Pallas skips the DMA (the
+        # kernel body already skips the compute).
+        def m(b, h, p, lens, tab, *l_ref):
+            nv = (lens[b] + ps - 1) // ps
+            pc = jnp.minimum(p, jnp.maximum(nv - 1, 0))
+            idx = f(tab[b, pc], h)
+            return (l_ref[0][0], *idx) if stacked else idx
+        return m
+
+    in_specs = [
+        pl.BlockSpec((1, 1, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
+        pl.BlockSpec((*lead, 1, 1, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
+        pl.BlockSpec((*lead, 1, 1, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
+    ]
+    operands = [qg, k_pool, v_pool]
+    if kv_int8:
+        in_specs += [
+            pl.BlockSpec((*lead, 1, 1, 8, ps), cmap(lambda pg, h: (pg, h, 0, 0))),
+            pl.BlockSpec((*lead, 1, 1, 8, ps), cmap(lambda pg, h: (pg, h, 0, 0)))]
+        operands += [k_scale, v_scale]
+
+    kernel = functools.partial(
+        _paged_decode_kernel, blk_s=ps, n_sblk=MAXP, kv_int8=kv_int8,
+        softcap=float(softcap), scale=scale, window=int(window),
+        stacked=stacked)
+
+    scalars = [lengths.astype(jnp.int32), table.astype(jnp.int32)]
+    if stacked:
+        scalars.append(jnp.asarray(lidx, jnp.int32).reshape(1))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(B, Hkv, MAXP),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G8, 1), jnp.float32),
+            pltpu.VMEM((G8, 1), jnp.float32),
+            pltpu.VMEM((G8, Dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G8, Dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*scalars, *operands)
+    return out[:, :, :G, :].reshape(B, Hq, Dh)
+
+
+# ---------------------------------------------------------------------------
+# XLA path: gather pages → contiguous view (oracle; prefill)
+# ---------------------------------------------------------------------------
+
+
+def gather_pages(pool, table):
+    """[P, Hkv, ps, Dh] + [B, MAXP] → contiguous [B, Hkv, MAXP*ps, Dh]."""
+    g = jnp.take(pool, table, axis=0)          # [B, MAXP, Hkv, ps, Dh]
+    B, MP, H, ps, Dh = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(B, H, MP * ps, Dh)
+
+
+def gather_scales(spool, table):
+    """[P, Hkv, 8, ps] + [B, MAXP] → [B, Hkv, 8, MAXP*ps]."""
+    g = jnp.take(spool, table, axis=0)         # [B, MAXP, Hkv, 8, ps]
+    B, MP, H, e, ps = g.shape
+    return g.transpose(0, 2, 3, 1, 4).reshape(B, H, e, MP * ps)
+
+
+def attend_paged(q, k_pool, v_pool, k_scale, v_scale, table, positions, cfg,
+                 slopes=None, sliding=None, force=None, interpret=False,
+                 lidx=None):
+    """Paged dispatcher, mirroring ops.attention.attend: Pallas paged
+    decode kernel for T==1 on TPU; XLA page-gather + reference attention
+    otherwise (prefill runs once per admission — the gather fuses into the
+    attention reads)."""
+    B, T, Hq, Dh = q.shape
+    stacked = k_pool.ndim == 5
+    ps = k_pool.shape[-2]
+    backend = jax.default_backend()
+    use_pallas = (force == "pallas" or interpret
+                  or (force is None and backend == "tpu"))
+    if (use_pallas and T == 1 and sliding is None and not cfg.use_alibi
+            and Dh % 128 == 0 and ps % 256 == 0 and force != "xla"):
+        out = paged_flash_decode(
+            q[:, 0], k_pool, v_pool, k_scale, v_scale, table,
+            lengths=positions[:, 0] + 1,
+            softcap=cfg.attn_softcap, window=cfg.sliding_window or 0,
+            scale=(cfg.attn_scale if cfg.attn_scale is not None
+                   else Dh ** -0.5),
+            interpret=interpret, lidx=lidx if stacked else None)
+        return out.reshape(B, 1, Hq * Dh)
+    if stacked:
+        sl = lambda c: None if c is None else \
+            jax.lax.dynamic_index_in_dim(c, lidx, 0, keepdims=False)
+        k_pool, v_pool = sl(k_pool), sl(v_pool)
+        k_scale, v_scale = sl(k_scale), sl(v_scale)
+    k = gather_pages(k_pool, table)
+    v = gather_pages(v_pool, table)
+    ks = None if k_scale is None else gather_scales(k_scale, table)
+    vs = None if v_scale is None else gather_scales(v_scale, table)
+    return attend_xla(q, k, v, ks, vs, positions, cfg, slopes, sliding)
+
+
+# ---------------------------------------------------------------------------
+# KV writes into the page pool
+# ---------------------------------------------------------------------------
+
+
+def paged_update_kv(k_pool, v_pool, ks_pool, vs_pool, k_new, v_new, table,
+                    start, lidx):
+    """Append new tokens' K/V to the page pool.
+
+    k_new/v_new: [B, Hkv, T, Dh] (pre-transposed, pre-RoPE'd). For T == 1
+    the write lands at (table[b, start//ps], start % ps); for T > 1 the
+    start must be page-aligned (serving prefills from 0) and the chunks
+    stream page by page. Per-batch python loop = B direct
+    dynamic_update_slice ops (the vmap/select trap — models/transformer.py
+    _attention note).
+    """
+    ps = k_pool.shape[-2]
+    B, H, T, Dh = k_new.shape
+    quantized = ks_pool is not None
+    if quantized:
+        k_new, ks_new = quantize_kv(k_new)          # scales [B, Hkv, T]
+        v_new, vs_new = quantize_kv(v_new)
+
+    def upd(pool, new):
+        new = new.astype(pool.dtype)
+        if T == 1:
+            for b in range(B):
+                page = table[b, start[b] // ps]
+                row = start[b] % ps
+                pool = jax.lax.dynamic_update_slice(
+                    pool, new[b][None, None], (lidx, page, 0, row, 0))
+            return pool
+        npages = -(-T // ps)
+        for b in range(B):
+            for j in range(npages):
+                chunk = new[b][:, j * ps:(j + 1) * ps]   # [Hkv, cs, Dh]
+                page = table[b, start[b] // ps + j]
+                pool = jax.lax.dynamic_update_slice(
+                    pool, chunk[None, None], (lidx, page, 0, 0, 0))
+        return pool
+
+    def upds(spool, snew):
+        rep = jnp.broadcast_to(snew[:, :, None, :], (B, H, 8, T))
+        rep = rep.astype(spool.dtype)
+        if T == 1:
+            for b in range(B):
+                page = table[b, start[b] // ps]
+                row = start[b] % ps
+                spool = jax.lax.dynamic_update_slice(
+                    spool, rep[b][None, None], (lidx, page, 0, 0, row))
+            return spool
+        npages = -(-T // ps)
+        for b in range(B):
+            for j in range(npages):
+                chunk = rep[b][:, :, j * ps:(j + 1) * ps]
+                page = table[b, start[b] // ps + j]
+                spool = jax.lax.dynamic_update_slice(
+                    spool, chunk[None, None], (lidx, page, 0, 0, 0))
+        return spool
+
+    k_pool = upd(k_pool, k_new)
+    v_pool = upd(v_pool, v_new)
+    if quantized:
+        ks_pool = upds(ks_pool, ks_new)
+        vs_pool = upds(vs_pool, vs_new)
+    return k_pool, v_pool, ks_pool, vs_pool

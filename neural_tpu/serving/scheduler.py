@@ -27,6 +27,8 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.transformer import forward
 from ..runtime.kvcache import KVCache, init_cache
+from ..runtime.paged import (PagedKVCache, PageAllocator, init_paged_cache,
+                             pages_needed)
 from ..runtime.sampling import SamplingParams, SamplerState, sample
 from ..runtime.generate import prepare_params
 
@@ -79,8 +81,22 @@ def _prefill_slot(params, tokens, cache: KVCache, slot, cfg: ModelConfig,
     return logits, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "T"), donate_argnums=(2,))
+def _prefill_slot_paged(params, tokens, cache: PagedKVCache, slot,
+                        cfg: ModelConfig, T: int):
+    """Paged prefill: the page POOL is shared, so only the table row is
+    sliced to batch 1 — writes land in this slot's reserved pages."""
+    params = prepare_params(params)
+    sub = PagedKVCache(cache.k, cache.v, cache.k_scale, cache.v_scale,
+                       jax.lax.dynamic_slice_in_dim(cache.table, slot, 1, 0))
+    logits, sub = forward(params, tokens, jnp.zeros((1,), jnp.int32), sub,
+                          cfg)
+    return logits, PagedKVCache(sub.k, sub.v, sub.k_scale, sub.v_scale,
+                                cache.table)
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
-def _decode_all(params, tokens, lengths, cache: KVCache, cfg: ModelConfig):
+def _decode_all(params, tokens, lengths, cache, cfg: ModelConfig):
     """One decode step for every slot: tokens [B, 1] at offsets lengths [B].
     Inactive slots still compute (static shapes) — their outputs are ignored
     and their cache rows overwritten on next prefill."""
@@ -102,13 +118,35 @@ class Scheduler:
                  sampling: Optional[SamplingParams] = None,
                  kv_dtype=jnp.bfloat16, seed: int = 0,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512,
-                                                  1024, 2048)):
+                                                  1024, 2048),
+                 kv_mode: str = "slots", page_size: int = 256,
+                 n_pages: Optional[int] = None):
+        """``kv_mode="paged"``: shared page pool + per-slot page tables
+        (runtime/paged.py). ``n_pages`` sizes the pool below worst case
+        (default batch·max_len/page_size); admission defers when the pool
+        can't cover a request's prompt+max_new reservation."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
         self.sampling = sampling or SamplingParams(greedy=True)
-        self.cache = init_cache(cfg, max_batch, max_len, kv_dtype)
+        self.kv_mode = kv_mode
+        if kv_mode == "paged":
+            self.page_size = page_size
+            self.cache = init_paged_cache(cfg, max_batch, max_len, n_pages,
+                                          page_size, kv_dtype)
+            self.maxp = max_len // page_size
+            # last page = trash: inactive slots' table rows point there, so
+            # their (ignored, static-shape) decode writes can never alias a
+            # live sequence's pages
+            self._trash_page = self.cache.n_pages - 1
+            self.allocator = PageAllocator(self.cache.n_pages - 1)
+            self.table_np = np.full((max_batch, self.maxp),
+                                    self._trash_page, np.int32)
+            self.slot_pages: Dict[int, List[int]] = {}
+            self._table_dirty = True
+        else:
+            self.cache = init_cache(cfg, max_batch, max_len, kv_dtype)
         self.lengths = np.zeros(max_batch, np.int64)
         self.buckets = [b for b in prefill_buckets if b <= max_len]
         self.waiting: deque[Sequence] = deque()
@@ -140,11 +178,21 @@ class Scheduler:
         return bool(self.waiting or self.running)
 
     # -- one scheduling iteration (reference scheduler.cpp:369 step) --------
+    def _can_admit(self, seq: Sequence) -> bool:
+        if not self.free_slots:
+            return False
+        if self.kv_mode != "paged":
+            return True
+        T = len(seq.prompt_ids)
+        need = pages_needed(max(T + seq.max_new_tokens,
+                                _bucket(T, self.buckets)), self.page_size)
+        return self.allocator.n_free >= need
+
     def step(self):
         admitted = False
-        # admit one waiting request if a slot is free and we are not in a
-        # forced decode-only phase (prefill-defer policy)
-        if (self.waiting and self.free_slots
+        # admit one waiting request if a slot (and, paged, enough pages) is
+        # free and we are not in a forced decode-only phase (prefill-defer)
+        if (self.waiting and self._can_admit(self.waiting[0])
                 and self.steps_decoding_for_next_prefill == 0):
             seq = self.waiting.popleft()
             self._prefill(seq)
@@ -153,8 +201,8 @@ class Scheduler:
             self._decode_step()
             if self.steps_decoding_for_next_prefill > 0:
                 self.steps_decoding_for_next_prefill -= 1
-        if self.waiting and not self.free_slots:
-            # pool full: decode-only until a slot frees
+        if self.waiting and not self._can_admit(self.waiting[0]):
+            # pool full (slots or pages): decode-only until capacity frees
             self.steps_decoding_for_next_prefill = max(
                 1, self.steps_decoding_for_next_prefill)
 
@@ -178,9 +226,28 @@ class Scheduler:
         Tb = _bucket(T, self.buckets)
         toks = np.zeros((1, Tb), np.int32)
         toks[0, :T] = seq.prompt_ids
-        logits, self.cache = _prefill_slot(
-            self.params, jnp.asarray(toks), self.cache,
-            jnp.int32(slot), self.cfg, Tb)
+        if self.kv_mode == "paged":
+            # reserve prompt+max_new worst case up front → decode never
+            # OOMs mid-sequence (preemption-free policy). The bucketed
+            # prefill writes pad keys up to Tb, so those pages must be
+            # reserved too (they're masked, but must not alias other slots)
+            need = pages_needed(max(T + seq.max_new_tokens, Tb),
+                                self.page_size)
+            pages = self.allocator.alloc(need)
+            assert pages is not None, "admission gate guarantees pages"
+            self.slot_pages[slot] = pages
+            self.table_np[slot, :] = self._trash_page
+            self.table_np[slot, :need] = pages
+            self.cache = PagedKVCache(*self.cache[:4],
+                                      jnp.asarray(self.table_np))
+            self._table_dirty = False
+            logits, self.cache = _prefill_slot_paged(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.int32(slot), self.cfg, Tb)
+        else:
+            logits, self.cache = _prefill_slot(
+                self.params, jnp.asarray(toks), self.cache,
+                jnp.int32(slot), self.cfg, Tb)
         # NOTE: padded positions T..Tb wrote garbage keys at those offsets;
         # they are masked out because lengths[slot] = T keeps the decode
         # attention window at < T... but the pad keys ARE below T? No: pads
@@ -197,6 +264,10 @@ class Scheduler:
         self._maybe_finish(seq)
 
     def _decode_step(self):
+        if self.kv_mode == "paged" and self._table_dirty:
+            self.cache = PagedKVCache(*self.cache[:4],
+                                      jnp.asarray(self.table_np))
+            self._table_dirty = False
         toks = jnp.asarray(self._next_tokens[:, None].astype(np.int32))
         lens = jnp.asarray(self.lengths.astype(np.int32))
         logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
@@ -221,3 +292,7 @@ class Scheduler:
                 del self.running[seq.slot]
             self.free_slots.append(seq.slot)
             self.lengths[seq.slot] = 0
+            if self.kv_mode == "paged" and seq.slot in self.slot_pages:
+                self.allocator.release(self.slot_pages.pop(seq.slot))
+                self.table_np[seq.slot, :] = self._trash_page
+                self._table_dirty = True

@@ -1,0 +1,172 @@
+"""Paged KV cache tests: pool/table semantics, kernel vs oracle, forward
+equivalence vs the contiguous cache, and paged continuous batching.
+
+The contiguous-cache path is the oracle everywhere: a paged run with any
+valid page table must produce identical results.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from neural_tpu.convert import init_random
+from neural_tpu.models.config import ModelConfig
+from neural_tpu.models.transformer import forward
+from neural_tpu.runtime import greedy_generate, SamplingParams
+from neural_tpu.runtime.kvcache import init_cache
+from neural_tpu.runtime.paged import (PagedKVCache, PageAllocator,
+                                      init_paged_cache, pages_needed)
+from neural_tpu.ops.paged_attention import (paged_flash_decode, gather_pages,
+                                            gather_scales)
+from neural_tpu.ops.attention import attend_xla
+from neural_tpu.serving import Scheduler
+
+
+def tiny_cfg(**kw):
+    d = dict(arch="llama", vocab_size=128, hidden_size=128, n_layers=2,
+             n_heads=4, n_kv_heads=2, head_dim=32, intermediate_size=256,
+             max_seq_len=512, eos_token_id=999)
+    d.update(kw)
+    return ModelConfig(**d)
+
+
+def test_allocator():
+    a = PageAllocator(8)
+    p1 = a.alloc(3)
+    p2 = a.alloc(5)
+    assert len(p1) == 3 and len(p2) == 5 and a.n_free == 0
+    assert set(p1) | set(p2) == set(range(8))
+    assert a.alloc(1) is None
+    a.release(p1)
+    assert a.n_free == 3
+    assert pages_needed(1, 256) == 1 and pages_needed(257, 256) == 2
+
+
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_paged_forward_matches_contiguous(kv_dtype):
+    """Prefill + 3 decode steps through a SHUFFLED page table must equal
+    the contiguous cache bit for bit (same XLA attention math)."""
+    cfg = tiny_cfg()
+    params = init_random(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, T, S, ps = 2, 17, 256, 64
+    dt = jnp.bfloat16 if kv_dtype == "bf16" else "int8"
+    toks = jnp.asarray(rng.integers(1, 128, (B, T)), jnp.int32)
+    start = jnp.zeros((B,), jnp.int32)
+
+    cache = init_cache(cfg, B, S, dt)
+    ref, cache = forward(params, toks, start, cache, cfg)
+
+    maxp = S // ps
+    pool = init_paged_cache(cfg, B, S, page_size=ps, dtype=dt)
+    perm = rng.permutation(B * maxp).reshape(B, maxp).astype(np.int32)
+    pool = PagedKVCache(*pool[:4], jnp.asarray(perm))
+    got, pool = forward(params, toks, start, pool, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    pos = T
+    tok = jnp.argmax(ref[:, -1], -1).astype(jnp.int32)[:, None]
+    for _ in range(3):
+        p = jnp.full((B,), pos, jnp.int32)
+        ref, cache = forward(params, tok, p, cache, cfg)
+        got, pool = forward(params, tok, p, pool, cfg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        tok = jnp.argmax(ref[:, -1], -1).astype(jnp.int32)[:, None]
+        pos += 1
+
+
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_paged_decode_kernel_vs_oracle(kv_int8):
+    """Pallas paged decode kernel (interpret mode) vs page-gather + XLA."""
+    rng = np.random.default_rng(1)
+    B, Hq, Hkv, Dh, ps, maxp = 2, 8, 2, 128, 256, 3
+    P = B * maxp + 1
+    q = jnp.asarray(rng.standard_normal((B, Hq, Dh)).astype(np.float32))
+    if kv_int8:
+        kp = jnp.asarray(rng.integers(-127, 127, (P, Hkv, ps, Dh)), jnp.int8)
+        vp = jnp.asarray(rng.integers(-127, 127, (P, Hkv, ps, Dh)), jnp.int8)
+        ks = jnp.asarray(np.broadcast_to(
+            rng.uniform(0.01, 0.05, (P, Hkv, 1, ps)), (P, Hkv, 8, ps)).copy(),
+            jnp.float32)
+        vs = jnp.asarray(np.broadcast_to(
+            rng.uniform(0.01, 0.05, (P, Hkv, 1, ps)), (P, Hkv, 8, ps)).copy(),
+            jnp.float32)
+    else:
+        kp = jnp.asarray(rng.standard_normal((P, Hkv, ps, Dh)), jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((P, Hkv, ps, Dh)), jnp.bfloat16)
+        ks = vs = None
+    tab = jnp.asarray(rng.permutation(P - 1).reshape(1, -1)[
+        :, :B * maxp].reshape(B, maxp).astype(np.int32))
+    lens = jnp.asarray([ps * maxp - 11, 73], jnp.int32)
+
+    out = paged_flash_decode(q, kp, vp, ks, vs, tab, lens, interpret=True)
+
+    class C:
+        attn_scale = None
+        attn_softcap = 0.0
+        sliding_window = 0
+        use_alibi = False
+    kc, vc = gather_pages(kp, tab), gather_pages(vp, tab)
+    ksc = None if ks is None else gather_scales(ks, tab)
+    vsc = None if vs is None else gather_scales(vs, tab)
+    ref = attend_xla(q[:, None], kc, vc, ksc, vsc, (lens - 1)[:, None],
+                     C).reshape(B, Hq, Dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=2e-2)
+
+
+def test_paged_decode_kernel_stacked_lidx():
+    """Stacked [L, ...] pools with a prefetched layer index."""
+    rng = np.random.default_rng(2)
+    L, B, Hkv, Dh, ps, maxp = 3, 2, 2, 128, 256, 2
+    P = B * maxp
+    q = jnp.asarray(rng.standard_normal((B, 4, Dh)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((L, P, Hkv, ps, Dh)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((L, P, Hkv, ps, Dh)), jnp.bfloat16)
+    tab = jnp.asarray(rng.permutation(P).reshape(B, maxp).astype(np.int32))
+    lens = jnp.asarray([ps + 5, 30], jnp.int32)
+
+    class C:
+        attn_scale = None
+        attn_softcap = 0.0
+        sliding_window = 0
+        use_alibi = False
+    for l in range(L):
+        out = paged_flash_decode(q, kp, vp, None, None, tab, lens,
+                                 interpret=True, lidx=l)
+        kc, vc = gather_pages(kp[l], tab), gather_pages(vp[l], tab)
+        ref = attend_xla(q[:, None], kc, vc, None, None, (lens - 1)[:, None],
+                         C).reshape(B, 4, Dh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-2, rtol=2e-2)
+
+
+def test_paged_scheduler_matches_sequential():
+    """12 requests through an UNDERSIZED page pool (oversubscription forces
+    admission deferral) must match per-request loop generation."""
+    cfg = tiny_cfg(hidden_size=64, head_dim=16, n_kv_heads=4,
+                   intermediate_size=128, max_seq_len=128)
+    params = init_random(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, 128, int(rng.integers(3, 20))))
+               for _ in range(12)]
+    n_new = 8
+    ref = [greedy_generate(params, cfg, p, max_new_tokens=n_new,
+                           stop_at_eos=False)[len(p):] for p in prompts]
+
+    # pool holds 6 pages of 32 (+1 trash): max_len 64 = 2 pages per seq →
+    # at most 3 resident despite 4 slots
+    sched = Scheduler(params, cfg, max_batch=4, max_len=64,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0),
+                      prefill_buckets=(32,), kv_mode="paged", page_size=32,
+                      n_pages=7)
+    for i, p in enumerate(prompts):
+        sched.add_request(f"q{i}", p, max_new_tokens=n_new)
+    done = sched.run_to_completion()
+    assert len(done) == 12
+    assert sched.allocator.n_free == 6
+    got = {s.request_id: s.output_ids for s in done}
+    exact = sum(got[f"q{i}"] == ref[i] for i in range(12))
+    assert exact >= 10, [(i, got[f"q{i}"], ref[i]) for i in range(12)
+                         if got[f"q{i}"] != ref[i]]
