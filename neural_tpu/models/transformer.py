@@ -99,10 +99,17 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     """Mixtral/Grok-style top-k routed experts.
 
     Reference computes this with gathered per-token expert matmuls
-    (ne_mul_mat_id / ne_mul_id_ffn_silu, llama.cpp:622-693). TPU-native
-    first cut: run every expert on all tokens and mask by router weight —
-    MXU-friendly, static shapes; a megablocks-style grouped matmul is the
-    planned optimization for large E.
+    (ne_mul_mat_id / ne_mul_id_ffn_silu, llama.cpp:622-693). Two TPU-native
+    strategies:
+    - **grouped (megablocks-style)**: sort the B·T·k (token, expert)
+      assignments by expert and run one ``lax.ragged_dot`` per projection —
+      FLOPs ∝ k/E of the dense mixture. Used for prefill-sized batches
+      with dense (unquantized) expert weights.
+    - **dense mixture**: run every expert on all tokens and mask by router
+      weight — static shapes, no gather; used for decode (tiny token
+      counts) and QTensor experts (Pallas consumes the packed [E, ...]
+      stacks directly; dequantizing all experts for ragged_dot would cost
+      more HBM than the saved FLOPs).
     """
     B, T, D = x.shape
     logits = linear(x, lp["router"]).astype(jnp.float32)      # [B, T, E]
@@ -112,6 +119,13 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     else:
         top_w = jnp.take_along_axis(jax.nn.softmax(logits, axis=-1),
                                     top_idx, axis=-1)
+
+    ex = lp["experts"]
+    dense_experts = all(not isinstance(v, QTensor) for v in ex.values())
+    no_bias = not any(k.startswith("b_") for k in ex)
+    if dense_experts and no_bias and B * T >= 8:
+        return _moe_grouped(x, ex, top_w, top_idx, cfg, tp_axis)
+
     # dense expert mixture weights [B, T, E]
     mix = jnp.zeros_like(logits).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_idx
@@ -125,6 +139,44 @@ def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
     outs = jax.lax.map(one_expert, lp["experts"])             # [E, B, T, D]
     out = jnp.einsum("ebtd,bte->btd", outs.astype(jnp.float32), mix)
     return _psum(out, tp_axis).astype(x.dtype)
+
+
+def _moe_grouped(x, ex: Params, top_w, top_idx, cfg: ModelConfig,
+                 tp_axis=None):
+    """Megablocks-style grouped expert MLP via lax.ragged_dot.
+
+    Assignments sorted by expert id form contiguous row groups; each
+    projection is ONE ragged matmul over [S·k, D] with per-group expert
+    weights [E, D, I] — the MXU analog of the reference's ne_mul_mat_id
+    gather-matmul (ne_layers.h:265), with static shapes (group sizes are
+    data, not shape).
+    """
+    B, T, D = x.shape
+    S = B * T
+    k = cfg.n_experts_active
+    E = cfg.n_experts
+    xf = x.reshape(S, D)
+    eid = top_idx.reshape(S * k)
+    tok = jnp.repeat(jnp.arange(S), k)
+    order = jnp.argsort(eid, stable=True)
+    tok_sorted = tok[order]
+    xs = jnp.take(xf, tok_sorted, axis=0)                     # [S*k, D]
+    gsz = jnp.bincount(eid, length=E).astype(jnp.int32)
+
+    def rdot(lhs, w):
+        return jax.lax.ragged_dot(
+            lhs.astype(jnp.bfloat16), w.astype(jnp.bfloat16), gsz,
+            preferred_element_type=jnp.float32)
+
+    if cfg.mlp_gated:
+        h = _act(rdot(xs, ex["w_gate"]), cfg.act) * rdot(xs, ex["w_up"])
+    else:
+        h = _act(rdot(xs, ex["w_up"]), cfg.act)
+    d = rdot(h, ex["w_down"])                                 # [S*k, D] f32
+    w_sorted = top_w.reshape(S * k)[order].astype(jnp.float32)
+    out = jnp.zeros((S, D), jnp.float32).at[tok_sorted].add(
+        d * w_sorted[:, None])
+    return _psum(out, tp_axis).reshape(B, T, D).astype(x.dtype)
 
 
 def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,

@@ -246,7 +246,7 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G8, Dh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*scalars, *operands)
     return out[:, :, :G, :].reshape(B, Hq, Dh)
@@ -420,7 +420,7 @@ def flash_prefill(q, k_cache, v_cache, starts, blk_t=256, blk_s=512,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * Hq, T, Dh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(starts_bh, qs.astype(jnp.bfloat16), k_cache, v_cache)
     return out.reshape(B, Hq, T, Dh).transpose(0, 2, 1, 3)

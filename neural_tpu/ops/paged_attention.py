@@ -102,7 +102,7 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G8, Dh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*scalars, *operands)
     return out[:, :, :G, :].reshape(B, Hq, Dh)

@@ -136,3 +136,27 @@ def test_greedy_ids_match_hf(arch):
         ref = model.generate(torch.tensor([prompt]), max_new_tokens=8,
                              do_sample=False, use_cache=True)[0].tolist()
     assert ours == ref, (arch, ours, ref)
+
+
+def test_mixtral_moe_logits_match_hf():
+    """MoE vs HF, exercising BOTH expert strategies: T=8 routes through the
+    megablocks-style grouped ragged_dot path, T=4 (B·T < 8) through the
+    dense-mixture path (models/transformer.py _moe_mlp)."""
+    cfg_hf = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=192,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=256)
+    torch.manual_seed(0)
+    model = transformers.MixtralForCausalLM(cfg_hf).eval()
+    params, cfg = from_hf_model(model, quant=None, dtype=jnp.float32)
+    for prompt in (np.array([[3, 17, 91, 4, 120, 5, 9, 33]], np.int32),
+                   np.array([[3, 17, 91, 4]], np.int32)):
+        ours = np.asarray(batch_logits(params, cfg, prompt))[0]
+        with torch.no_grad():
+            theirs = model(torch.tensor(prompt.tolist())).logits[0].numpy()
+        cos = np.sum(ours * theirs, -1) / (
+            np.linalg.norm(ours, axis=-1) * np.linalg.norm(theirs, axis=-1)
+            + 1e-9)
+        assert cos.min() > 0.999, (prompt.shape, cos)
+        np.testing.assert_allclose(ours, theirs, atol=0.12, rtol=0.05)
