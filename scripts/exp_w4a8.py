@@ -39,6 +39,20 @@ def kernel_bf16(x_ref, w_ref, o_ref, acc):
         o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
+def _sel_row(sa, kt):
+    # sa [TM, G] -> column kt as [TM, 1] (one-hot mask; Mosaic has no
+    # dynamic value slicing)
+    G = sa.shape[1]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) == kt
+    return jnp.sum(jnp.where(oh, sa, 0.0), axis=1, keepdims=True)
+
+
+def _sel_col(sw, kt):
+    G = sw.shape[0]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == kt
+    return jnp.sum(jnp.where(oh, sw, 0.0), axis=0, keepdims=True)
+
+
 def kernel_i8_tile(x_ref, w_ref, sa_ref, sw_ref, o_ref, acc):
     # one scale per K-tile: acc += i32dot * (sa[:, kt] ⊗ sw[kt, :])
     kt = pl.program_id(2)
@@ -48,8 +62,8 @@ def kernel_i8_tile(x_ref, w_ref, sa_ref, sw_ref, o_ref, acc):
     d = jax.lax.dot_general(x_ref[...], w_ref[...],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    sa = sa_ref[...][:, kt:kt + 1].astype(jnp.float32)      # [TM, 1]
-    sw = sw_ref[...][kt:kt + 1, :].astype(jnp.float32)      # [1, TN]
+    sa = _sel_row(sa_ref[...].astype(jnp.float32), kt)      # [TM, 1]
+    sw = _sel_col(sw_ref[...].astype(jnp.float32), kt)      # [1, TN]
     acc[...] += d.astype(jnp.float32) * (sa * sw)
     @pl.when(kt == pl.num_programs(2) - 1)
     def _s():
@@ -70,8 +84,8 @@ def kernel_i8_g128(x_ref, w_ref, sa_ref, sw_ref, o_ref, acc):
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
         g = kt * (TK // 128) + j
-        sa = sa_ref[...][:, g:g + 1].astype(jnp.float32)
-        sw = sw_ref[...][g:g + 1, :].astype(jnp.float32)
+        sa = _sel_row(sa_ref[...].astype(jnp.float32), g)
+        sw = _sel_col(sw_ref[...].astype(jnp.float32), g)
         acc[...] += d.astype(jnp.float32) * (sa * sw)
     @pl.when(kt == pl.num_programs(2) - 1)
     def _s():
