@@ -100,6 +100,281 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
     return w.reshape(TK, TN).astype(out_dtype)
 
 
+def quantize_act_i8(x: jnp.ndarray, gd: int):
+    """Dynamic per-row per-K-group symmetric int8 activation quantization.
+
+    TPU-native analog of the reference's ``ActivationKBlockQuantize``
+    prologue (bestla/bestla/bestla_prologue_a.h:105): x [M, K] → int8 codes
+    plus f32 scales [M, K//gd]. Runs as plain XLA (one fused memory-bound
+    pass); the int8 codes then feed the MXU's 2x-rate int8 dot in
+    :func:`_qmm_a8_kernel`.
+    """
+    M, K = x.shape
+    assert K % gd == 0, (K, gd)
+    xg = x.astype(jnp.float32).reshape(M, K // gd, gd)
+    absmax = jnp.max(jnp.abs(xg), axis=2) + 1e-9          # [M, G]
+    sa = absmax / 127.0
+    q = jnp.round(xg / sa[:, :, None]).astype(jnp.int8)
+    return q.reshape(M, K), sa
+
+
+def _sel_row(sa, g):
+    """sa [TM, G] → column ``g`` as [TM, 1]. One-hot masked sum: Mosaic has
+    no dynamic slicing of loaded values."""
+    G = sa.shape[1]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1) == g
+    return jnp.sum(jnp.where(oh, sa, 0.0), axis=1, keepdims=True)
+
+
+def _sel_col(sw, g):
+    G = sw.shape[0]
+    oh = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == g
+    return jnp.sum(jnp.where(oh, sw, 0.0), axis=0, keepdims=True)
+
+
+def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
+                   n_planes: int, has_zeros: bool, gd: int, out_dtype,
+                   stacked: bool = False):
+    """int8-compute (w4a8/w8a8) matmul kernel.
+
+    Grid (M/tm, N/tn, K/tk), K innermost. Per K-tile: unpack the weight
+    codes (int32 shift/mask), cast to int8, and run one int8 MXU dot per
+    ``gd``-sized K-group — int8 MXU throughput is ~2x bf16 on v5e (measured
+    213 TF/s pre-unpacked / 199 TF/s end-to-end with in-kernel unpack vs
+    141 bf16, scripts/exp_w4a8{,b}.py + tile sweep). Per-group f32 rescale
+    ``d * (sa_g ⊗ sw_g)`` accumulates into f32 scratch.
+
+    Asymmetric weights dot the RAW unsigned codes and fold the zero-point
+    into the accumulator *initialization*: since
+    ``Σ_g sa_g·(x_g·(c_g−zp_g))·sw_g = Σ_g sa_g·(x_g·c_g)·sw_g − (sa⊙xs)@(zp⊙sw)``,
+    the whole correction is one rank-G f32 MXU dot per output tile at
+    kt == 0 (reference analog: bestla_epilogue.h:278 ZpDequantInt32ToFp32's
+    reduce-sum compensation). ``xsa = sa*rowsum_g(x_i8)`` and
+    ``zwp = zp*sw`` (repeated to gd groups) are computed outside.
+
+    Ref order: [lidx], x_i8, planes..., w_scales, [zwp, xsa], sa, out, acc.
+    Scale stripes arrive full-K; selected one-hot per group (Mosaic has no
+    dynamic value slicing).
+    """
+    if stacked:
+        refs = refs[1:]
+
+    def tile(r):
+        a = r[...]
+        return a.reshape(a.shape[-2:])
+
+    x_ref = refs[0]
+    plane_tiles = [tile(refs[1 + i]) for i in range(n_planes)]
+    idx = 1 + n_planes
+    sw_ref = refs[idx]
+    idx += 1
+    if has_zeros:
+        zwp_ref, xsa_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    sa_ref = refs[idx]
+    out_ref, acc_ref = refs[idx + 1], refs[idx + 2]
+
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _zero():
+        if has_zeros:
+            acc_ref[...] = -jax.lax.dot_general(
+                xsa_ref[...], tile(zwp_ref), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    pt = plane_tiles[0]
+    if pt.dtype == jnp.uint8:
+        codes = unpack_codes(tuple(plane_tiles), cfg.bits, chunk)  # int32
+        if cfg.sym:
+            codes = codes - (1 << (cfg.bits - 1))
+        w8 = codes.astype(jnp.int8)                                # [TK, TN]
+    elif pt.dtype == jnp.uint4 and cfg.sym:
+        w8 = (pt.astype(jnp.int32) - (1 << (cfg.bits - 1))).astype(jnp.int8)
+    else:
+        # native planes: int4/int8 already centered (sym), uint4 raw (asym)
+        w8 = pt.astype(jnp.int8)
+    x = x_ref[...]
+    TK = w8.shape[0]
+    sw_f = tile(sw_ref).astype(jnp.float32)
+    sa_f = sa_ref[...].astype(jnp.float32)
+    # weight-scale groups per dot group (gd == group_size unless g == -1,
+    # where one weight group spans all of K)
+    sub = TK // gd
+    r = max(group_size // gd, 1) if group_size > 0 else (1 << 30)
+    for j in range(sub):
+        d = jax.lax.dot_general(x[:, j * gd:(j + 1) * gd],
+                                w8[j * gd:(j + 1) * gd, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        ga = kt * sub + j
+        gw = ga // r if group_size > 0 else 0
+        acc_ref[...] += d.astype(jnp.float32) * (_sel_row(sa_f, ga)
+                                                 * _sel_col(sw_f, gw))
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _store():
+        out_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "tk", "gd", "out_dtype",
+                              "interpret"))
+def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
+                       interpret, lidx=None):
+    """int8-compute fused matmul. ``x_i8``/``sa`` from :func:`quantize_act_i8`
+    (groups of ``gd``). Stacked mode streams layer ``lidx`` from [L, ...]
+    HBM stacks; the small zero-point correction operands are sliced to the
+    layer up front (they're rank-G — the copy is trivial)."""
+    M, K = x_i8.shape
+    N = qt.N
+    cfg = qt.cfg
+    grid = (M // tm, N // tn, K // tk)
+    stacked = lidx is not None
+    lead = (1,) if stacked else ()
+
+    def wmap(f):
+        if stacked:
+            return lambda i, j, k, l_ref: (l_ref[0], *f(i, j, k))
+        return f
+
+    def xmap(i, j, k, *a):
+        return (i, k)
+
+    def smap(i, j, k, *a):
+        return (i, 0)
+
+    def nmap(i, j, k, *a):
+        return (0, j)
+
+    in_specs = [pl.BlockSpec((tm, tk), xmap)]
+    if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
+        pack_rows = [tk]
+    else:
+        pack_rows = [tk * p // 8 for p, _ in plane_shifts(cfg.bits)]
+    for rows in pack_rows:
+        in_specs.append(pl.BlockSpec((*lead, rows, tn),
+                                     wmap(lambda i, j, k: (k, j))))
+    G = qt.scales.shape[-2]
+    Ga = K // gd
+    in_specs.append(pl.BlockSpec((*lead, G, tn),
+                                 wmap(lambda i, j, k: (0, j))))
+    operands = [x_i8, *qt.planes, qt.scales]
+    has_zeros = qt.zeros is not None
+    if has_zeros:
+        zeros, scales = qt.zeros, qt.scales
+        if stacked:
+            l = jnp.asarray(lidx, jnp.int32)
+            zeros = jax.lax.dynamic_index_in_dim(zeros, l, 0, keepdims=False)
+            scales = jax.lax.dynamic_index_in_dim(scales, l, 0,
+                                                  keepdims=False)
+        if zeros.dtype == jnp.uint8:
+            zf = zeros.astype(jnp.int32).astype(jnp.float32)
+        else:
+            zf = zeros.astype(jnp.float32)
+        zwp = zf * scales.astype(jnp.float32)                     # [G, N]
+        if G != Ga:
+            zwp = jnp.repeat(zwp, Ga // G, axis=0)                # [Ga, N]
+        xs = x_i8.astype(jnp.float32).reshape(M, Ga, gd).sum(axis=2)
+        xsa = xs * sa                                             # [M, Ga]
+        in_specs.append(pl.BlockSpec((Ga, tn), nmap))
+        operands.append(zwp)
+        in_specs.append(pl.BlockSpec((tm, Ga), smap))
+        operands.append(xsa)
+    in_specs.append(pl.BlockSpec((tm, Ga), smap))
+    operands.append(sa)
+
+    kernel = functools.partial(
+        _qmm_a8_kernel, cfg=cfg, group_size=cfg.group_size,
+        chunk=pack_chunk(cfg, K), n_planes=len(qt.planes),
+        has_zeros=has_zeros, gd=gd, out_dtype=out_dtype, stacked=stacked)
+
+    bytes_accessed = (x_i8.size + qt.nbytes()
+                      + M * N * np.dtype(out_dtype).itemsize)
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K, bytes_accessed=bytes_accessed,
+            transcendentals=0),
+        interpret=interpret,
+    )
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l_ref: (i, j)),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)])
+        return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+            jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        **common)(*operands)
+
+
+def _pick_a8(M, K, N, cfg: QuantConfig):
+    """(tm, tn, tk, gd) for the int8-compute path, or None.
+
+    Worth it only when compute-bound (prefill, M >= 256) and when the dot
+    group is MXU-efficient: gd % 128 == 0. group_size 32/64 configs fall
+    back to bf16 compute (their act_bits=8 stays advisory) — a K=32 int8
+    sub-dot wastes 3/4 of the 128-wide MXU and loses to bf16.
+    """
+    if cfg.kind != "int" or cfg.act_bits != 8 or cfg.bits < 2:
+        return None
+    if M < 256:
+        return None
+    g = K if cfg.group_size == -1 else cfg.group_size
+    gd = min(g, 512)
+    if gd % 128 or g % gd or K % gd:
+        return None
+    # tiles from the hardware sweep (scripts/exp_w4a8b.py + prod sweep,
+    # v5e M=2048 K=N=4096): tm=512/tn=2048/tk=512 → 199 TF/s end-to-end
+    # (incl. the dynamic act-quant pass) vs 141 TF/s bf16 dequant path.
+    tm = 512 if M >= 512 else 256
+    tn = next((t for t in (2048, 1024, 512, 256, 128) if N % t == 0), None)
+    if tn is None:
+        return None
+    tk = gd
+    while tk * 2 <= 512 and K % (tk * 2) == 0 and (g % (tk * 2) == 0
+                                                   or (tk * 2) % g == 0):
+        tk *= 2
+    if K % tk:
+        return None
+    # packed plane rows per step must stay sublane-aligned
+    from ..core.dtypes import bit_planes
+    min_plane = min(bit_planes(cfg.bits))
+    if (tk * min_plane // 8) % 8:
+        return None
+    return tm, tn, tk, gd
+
+
+def matmul_a8_ref(x: jnp.ndarray, qt: QTensor, gd: int, dtype=None):
+    """Oracle for the int8-compute path: quantize activations, then exact
+    f32 arithmetic over the same integer values the kernel sees."""
+    import dataclasses as _dc
+
+    from ..core.qtensor import dequantize
+
+    out_dtype = dtype or x.dtype
+    *lead, K = x.shape
+    x2 = x.reshape(-1, K)
+    if qt.perm is not None:
+        # quantization groups follow the STORED (act-order) row order, as in
+        # the kernel path (x gathered before quantize_act_i8)
+        x2 = jnp.take(x2, qt.perm, axis=1)
+        qt = _dc.replace(qt, perm=None)
+    x_i8, sa = quantize_act_i8(x2, gd)
+    xd = x_i8.astype(jnp.float32).reshape(-1, K // gd, gd) * sa[:, :, None]
+    w = dequantize(qt, jnp.float32)
+    out = xd.reshape(-1, K) @ w
+    return out.astype(out_dtype).reshape(*lead, qt.N)
+
+
 def _qmm_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
                 n_planes: int, has_zeros: bool, groups_per_step: int,
                 out_dtype, stacked: bool = False):
@@ -461,6 +736,21 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         return jnp.take(x2, perm, axis=1)
 
     backend = jax.default_backend()
+    a8_ok = force != "xla" and (backend == "tpu" or interpret
+                                or force == "pallas")
+    a8 = _pick_a8(M, K, qt.N, qt.cfg) if a8_ok else None
+    if a8 is not None:
+        tm, tn, tk, gd = a8
+        x2g = gathered(x2)
+        Mp = _round_up(M, tm)
+        xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+        x_i8, sa = quantize_act_i8(xp, gd)
+        out = _qmatmul_a8_pallas(x_i8, sa, qt, tm, tn, tk, gd,
+                                 out_dtype=out_dtype, interpret=interpret,
+                                 lidx=lidx)
+        if Mp != M:
+            out = out[:M]
+        return out.reshape(*lead, qt.N)
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
         code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4
         use_pallas = (backend == "tpu" or force == "pallas"

@@ -243,3 +243,81 @@ def test_decode8_sym_native():
     out = np.asarray(qmatmul(x, nat, out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(out, ref, atol=0.05 + 0.02 * np.abs(ref).max(),
                                rtol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# int8-compute (w4a8 / w8a8) path
+# ---------------------------------------------------------------------------
+
+
+def check_a8(cfg, M=256, K=512, N=256, stacked=False):
+    """Kernel (interpret) vs the a8 oracle must agree to f32-accumulation
+    noise; the a8 oracle vs the float oracle bounds the act-quant error."""
+    from neural_tpu.ops.qmatmul import matmul_a8_ref, _pick_a8
+
+    picked = _pick_a8(M, K, N, cfg)
+    assert picked is not None, "a8 path not selected"
+    gd = picked[3]
+    w = mk(0, (K, N))
+    x = mk(1, (M, K), 1.0)
+    qt = quantize(w, cfg)
+    if stacked:
+        qt = jax.tree.map(lambda a: jnp.stack([a, a * 0 + a]), qt)
+        out = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32,
+                                 interpret=True, lidx=1))
+        qt = jax.tree.map(lambda a: a[1], qt)
+    else:
+        out = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32,
+                                 interpret=True))
+    ref = np.asarray(matmul_a8_ref(x, qt, gd, jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=1e-3 + 1e-4 * np.abs(ref).max(),
+                               rtol=1e-4)
+    fref = np.asarray(matmul_ref(x, qt, jnp.float32))
+    np.testing.assert_allclose(out, fref, atol=0.05 * np.abs(fref).max(),
+                               rtol=0.1)
+
+
+def test_a8_w4_sym_g128():
+    check_a8(QuantConfig(bits=4, group_size=128, sym=True, act_bits=8))
+
+
+def test_a8_w4_asym_g128():
+    """q4_j_i8_g128: asym weights exercise zero-point compensation."""
+    check_a8(PRESETS["q4_j_i8_g128"])
+
+
+def test_a8_w8_per_channel():
+    check_a8(QuantConfig(bits=8, group_size=-1, sym=True, act_bits=8))
+
+
+def test_a8_w8_g256():
+    check_a8(QuantConfig(bits=8, group_size=256, sym=True, act_bits=8))
+
+
+def test_a8_stacked_lidx():
+    check_a8(QuantConfig(bits=4, group_size=128, sym=True, act_bits=8),
+             stacked=True)
+
+
+def test_a8_multiblock():
+    check_a8(QuantConfig(bits=4, group_size=128, sym=False, act_bits=8),
+             M=512, K=1024, N=512)
+
+
+def test_a8_not_picked_small_m_or_g32():
+    from neural_tpu.ops.qmatmul import _pick_a8
+
+    assert _pick_a8(16, 512, 256, PRESETS["q4_j_i8_g128"]) is None
+    assert _pick_a8(256, 512, 256, PRESETS["q4_j_i8_g32"]) is None
+    assert _pick_a8(256, 512, 256, PRESETS["q4_0"]) is None
+
+
+def test_quantize_act_i8_roundtrip():
+    from neural_tpu.ops.qmatmul import quantize_act_i8
+
+    x = mk(2, (8, 256), 3.0)
+    q, sa = quantize_act_i8(x, 128)
+    assert q.dtype == jnp.int8 and sa.shape == (8, 2)
+    xr = np.asarray(q, np.float32).reshape(8, 2, 128) * np.asarray(sa)[:, :, None]
+    np.testing.assert_allclose(xr.reshape(8, 256), np.asarray(x),
+                               atol=float(np.abs(x).max()) / 127 * 0.51)
