@@ -79,16 +79,24 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
         operands += [k_scale, v_scale]
 
     kernel = functools.partial(
-        _paged_decode_kernel, blk_s=ps, n_sblk=MAXP, kv_int8=kv_int8,
+        _paged_decode_kernel, blk_s=ps, kv_int8=kv_int8,
         softcap=float(softcap), scale=scale, window=int(window),
         stacked=stacked)
 
     scalars = [lengths.astype(jnp.int32), table.astype(jnp.int32)]
     if stacked:
         scalars.append(jnp.asarray(lidx, jnp.int32).reshape(1))
+    # dynamic grid bound: iterate only the pages the longest sequence
+    # actually fills (empty grid steps cost ~0.2 us each; see
+    # ops/attention.flash_decode)
+    if interpret:
+        npg = MAXP
+    else:
+        need = (jnp.max(lengths).astype(jnp.int32) + ps - 1) // ps
+        npg = jnp.clip(need, 1, MAXP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(B, Hkv, MAXP),
+        grid=(B, Hkv, npg),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
         scratch_shapes=[
