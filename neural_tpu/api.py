@@ -28,6 +28,42 @@ def _to_id_list(x) -> List[List[int]]:
     return [list(map(int, row)) for row in a]
 
 
+def quant_config_from_args(weight_dtype="int4", alg="sym", group_size=32,
+                           scale_dtype="fp32", compute_dtype="int8",
+                           use_ggml=False) -> Optional[QuantConfig]:
+    """Reference-style quant knobs → QuantConfig (neural_speed Model.init
+    kwargs, __init__.py:142-154; quant_desc encoding :171-180).
+
+    ``weight_dtype``: int1..int8 / nf4 / fp4 / fp8 / fp8_e5m2 (or a preset
+    name / QuantConfig, passed through). ``compute_dtype="int8"`` enables
+    the dynamic int8-activation compute path (BesTLA comp_int8 analog) for
+    prefill; "bf16"/"fp16"/"fp32" keep bf16 activations. ``use_ggml`` maps
+    to the ggml-compatible q4_0/q4_1 layouts (sym/asym, group 32).
+    """
+    if weight_dtype is None or isinstance(weight_dtype, QuantConfig):
+        return weight_dtype
+    if weight_dtype in PRESETS:
+        return PRESETS[weight_dtype]
+    sym = alg == "sym"
+    if use_ggml:
+        return PRESETS["q4_0" if sym else "q4_1"]
+    act_bits = 8 if compute_dtype == "int8" else 16
+    sd = "f32" if scale_dtype in ("fp32", "f32") else "bf16"
+    if weight_dtype.startswith("int"):
+        return QuantConfig(bits=int(weight_dtype[3:]), group_size=group_size,
+                           sym=sym, act_bits=act_bits, scale_dtype=sd)
+    if weight_dtype in ("nf4", "fp4"):
+        return QuantConfig(kind=weight_dtype, group_size=group_size,
+                           scale_dtype=sd)
+    if weight_dtype in ("fp8", "fp8_e4m3"):
+        return QuantConfig(kind="fp8_e4m3", group_size=group_size,
+                           scale_dtype=sd)
+    if weight_dtype == "fp8_e5m2":
+        return QuantConfig(kind="fp8_e5m2", group_size=group_size,
+                           scale_dtype=sd)
+    raise ValueError(f"unknown weight_dtype {weight_dtype!r}")
+
+
 class Model:
     """reference: neural_speed.Model (__init__.py:130)."""
 
@@ -35,18 +71,38 @@ class Model:
         self.params = None
         self.cfg: Optional[ModelConfig] = None
         self.tokenizer = None
+        self._session = None       # interactive multi-round state
+        self._token_end = True
 
     # -- loading ------------------------------------------------------------
     def init(self, model_name_or_path: str,
              weight_dtype: Union[str, QuantConfig, None] = "q4_0",
-             use_gptq: bool = False, use_awq: bool = False,
+             use_quant: bool = True, use_gptq: bool = False,
+             use_awq: bool = False, use_autoround: bool = False,
+             alg: str = "sym", group_size: int = 32,
+             scale_dtype: str = "fp32", compute_dtype: str = "int8",
+             use_ggml: bool = False, model_hub: str = "huggingface",
              dtype="bfloat16", trust_remote_code: bool = False):
         """Load + convert + quantize an HF checkpoint (local path; this
         environment has no network). ``weight_dtype`` is a preset name
-        ("q4_0", "int8", "nf4", ...), a QuantConfig, or None for bf16."""
+        ("q4_0", "int8", "nf4", ...), a QuantConfig, a reference-style name
+        ("int4" + alg/group_size/scale_dtype/compute_dtype/use_ggml — see
+        :func:`quant_config_from_args`), or None for bf16."""
         import jax.numpy as jnp
         import transformers
 
+        if model_hub != "huggingface":
+            raise ValueError(
+                f"model_hub {model_hub!r} is not available offline; use a "
+                "local huggingface-format directory (reference also "
+                "supports 'modelscope', a network hub)")
+        if not use_quant:
+            weight_dtype = None
+        else:
+            weight_dtype = quant_config_from_args(
+                weight_dtype, alg, group_size, scale_dtype, compute_dtype,
+                use_ggml)
+        use_gptq = use_gptq or use_autoround  # autoround exports gptq format
         jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         if use_gptq or use_awq:
             from .convert.gptq import params_from_gptq_state_dict
@@ -113,6 +169,31 @@ class Model:
         from .convert.checkpoint import save_checkpoint
         save_checkpoint(path, self.params, self.cfg)
 
+    @staticmethod
+    def quant_model(model_path: str, out_path: str,
+                    weight_dtype="int4", alg="sym", group_size=32,
+                    scale_dtype="fp32", compute_dtype="int8",
+                    use_ggml=False):
+        """File → file quantization (reference Model.quant_model,
+        __init__.py:332 → quant_utils.cpp:269 bestla_quantize). Input: GGUF,
+        NTPU checkpoint, or HF directory; output: NTPU checkpoint (or GGUF
+        when ``out_path`` ends in .gguf and the dtype has a ggml layout)."""
+        from .convert.checkpoint import save_checkpoint
+        if out_path.endswith(".gguf"):
+            raise ValueError("GGUF output: use convert.gguf_models."
+                             "export_gguf on the HF model instead")
+        qcfg = quant_config_from_args(weight_dtype, alg, group_size,
+                                      scale_dtype, compute_dtype, use_ggml)
+        m = Model()
+        if os.path.isdir(model_path):
+            m.init(model_path, weight_dtype=qcfg)
+        else:
+            m.init_from_bin(model_path)
+            from .convert.hf import requantize
+            m.params = requantize(m.params, qcfg)
+        save_checkpoint(out_path, m.params, m.cfg)
+        return out_path
+
     # -- generation ----------------------------------------------------------
     def generate(self, input_ids, max_new_tokens: int = 128,
                  do_sample: bool = False, temperature: float = 0.8,
@@ -120,41 +201,140 @@ class Model:
                  repetition_penalty: float = 1.1, num_beams: int = 1,
                  seed: int = 0, stop_at_eos: bool = True,
                  streaming: bool = False, max_len: Optional[int] = None,
+                 streamer=None, interactive: bool = False,
+                 ignore_prompt: bool = False, stopping_criteria=None,
                  **kw) -> List[List[int]]:
         """reference Model.generate (__init__.py:337). Returns full id
-        lists (prompt + new tokens), one per input row."""
+        lists (prompt + new tokens), one per input row — or new tokens only
+        with ``ignore_prompt=True`` (or on interactive continuation rounds,
+        matching the reference's generate_round semantics).
+
+        ``streamer``: HF TextStreamer-style object (.put(ids)/.end()),
+        batch 1 only. ``interactive``: keep the KV cache across generate
+        calls (multi-round chat; reference reinit/generate_round).
+        ``stopping_criteria``: callable(ids_2d, scores) -> bool, checked
+        per token."""
         assert self.params is not None, "call init first"
         from .utils.profiling import Timings, maybe_trace
         timings = Timings()
         rows = _to_id_list(input_ids)
+        hooked = (streamer is not None or stopping_criteria is not None
+                  or interactive)
+        if not interactive:
+            self._session = None
+        if streamer is not None:
+            assert len(rows) == 1, "Streamer only supports batch size 1."
+            assert num_beams == 1, "can not use streamer with beam search"
         outs = []
         for ids in rows:
-            if num_beams > 1:
+            if num_beams > 1 and not do_sample:
                 from .runtime.beam import beam_search
                 hyp = beam_search(self.params, self.cfg, ids,
                                   beam_size=num_beams,
                                   max_new_tokens=max_new_tokens)[0]
-                outs.append(hyp.ids)
+                outs.append(hyp.ids[len(ids):] if ignore_prompt else hyp.ids)
                 continue
             sp = SamplingParams(
                 greedy=not do_sample, temperature=temperature, top_k=top_k,
                 top_p=top_p, repeat_penalty=repetition_penalty)
-            if streaming:
+            if hooked:
+                outs.append(self._generate_hooked(
+                    ids, sp, max_new_tokens, max_len, seed, stop_at_eos,
+                    streamer, stopping_criteria, interactive, ignore_prompt))
+            elif streaming:
                 from .runtime.streaming import stream_generate
-                outs.append(stream_generate(
+                out = stream_generate(
                     self.params, self.cfg, ids, max_new_tokens,
                     max_len or self.cfg.max_seq_len, sampling=sp,
-                    seed=seed, stop_at_eos=stop_at_eos))
+                    seed=seed, stop_at_eos=stop_at_eos)
+                outs.append(out[len(ids):] if ignore_prompt else out)
             else:
                 from .runtime.generate import generate
                 with maybe_trace("generate"), \
                         timings.phase("decode",
                                       tokens=max_new_tokens):
-                    outs.append(generate(self.params, self.cfg, ids, sp,
-                                         max_new_tokens, max_len, seed,
-                                         stop_at_eos))
+                    out = generate(self.params, self.cfg, ids, sp,
+                                   max_new_tokens, max_len, seed,
+                                   stop_at_eos)
+                outs.append(out[len(ids):] if ignore_prompt else out)
         timings.print_if_verbose()
         return outs
+
+    def _generate_hooked(self, ids, sp, max_new_tokens, max_len, seed,
+                         stop_at_eos, streamer, stopping_criteria,
+                         interactive, ignore_prompt):
+        """Host-stepped generation with per-token hooks and (optionally) a
+        KV session kept across calls (reference interactive mode)."""
+        import jax
+        import jax.numpy as jnp
+        from .runtime.generate import model_step
+        from .runtime.kvcache import init_cache
+        from .runtime.sampling import SamplerState, sample
+
+        first_round = self._session is None or not interactive
+        if first_round:
+            S = max_len or self.cfg.max_seq_len
+            cache = init_cache(self.cfg, 1, S)
+            pos = 0
+        else:
+            cache, pos, S = self._session
+        if pos + len(ids) + max_new_tokens > S:
+            raise ValueError(
+                f"context overflow: {pos}+{len(ids)}+{max_new_tokens} > {S};"
+                " raise max_len or use streaming=True (StreamingLLM)")
+
+        out = list(ids) if (first_round and not ignore_prompt) else []
+        if streamer is not None and first_round and not ignore_prompt:
+            streamer.put(np.asarray([ids]))
+        self._token_end = False
+
+        state = SamplerState.init(1, sp)
+        key = jax.random.PRNGKey(seed)
+        prompt = jnp.asarray(np.asarray(ids, np.int32)[None, :])
+        logits, cache = model_step(self.params, prompt,
+                                   jnp.asarray([pos], jnp.int32), cache,
+                                   self.cfg)
+        pos += len(ids)
+        full = list(ids) + []
+        for i in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            hist = np.asarray(full[-sp.repeat_last_n:], np.int32)[None, :]
+            tok, state = sample(logits[:, -1], sub, sp, state,
+                                prev_tokens=jnp.asarray(hist))
+            next_id = int(tok[0])
+            out.append(next_id)
+            full.append(next_id)
+            if streamer is not None:
+                streamer.put(np.asarray([[next_id]]))
+            if stopping_criteria is not None and stopping_criteria(
+                    np.asarray([full]), None):
+                self._token_end = True
+                break
+            if stop_at_eos and next_id == self.cfg.eos_token_id:
+                self._token_end = True
+                break
+            if i == max_new_tokens - 1 or pos + 1 >= S:
+                self._token_end = True
+                break
+            logits, cache = model_step(
+                self.params, jnp.asarray([[next_id]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache, self.cfg)
+            pos += 1
+        if streamer is not None:
+            streamer.end()
+        if interactive:
+            self._session = (cache, pos, S)
+        return out
+
+    def is_token_end(self) -> bool:
+        """reference Model.is_token_end (__init__.py:414)."""
+        return self._token_end
+
+    def reset_kv_cache(self):
+        """Drop the interactive session (reference reset_kv_cache →
+        model.reinit, __init__.py:417)."""
+        self._session = None
+        self._token_end = True
 
     def generate_text(self, prompt: str, **kw) -> str:
         assert self.tokenizer is not None, "no tokenizer loaded"

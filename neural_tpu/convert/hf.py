@@ -71,6 +71,35 @@ def _quantize_one(w, qcfg: QuantConfig):
     return quantize(jnp.asarray(w), qcfg)
 
 
+def requantize(params, qcfg: QuantConfig):
+    """Re-quantize every QTensor leaf of a params pytree to ``qcfg``
+    (dequantize → RTN quantize; the reference quant_model file→file path,
+    quant_utils.cpp:269). Stacked [L, ...] QTensors are handled per layer.
+    Raises for fp params — quantize those at conversion (Model.init)."""
+    from ..core.qtensor import QTensor, dequantize
+
+    found = [False]
+
+    def one(leaf):
+        if not isinstance(leaf, QTensor):
+            return leaf
+        found[0] = True
+        if leaf.planes[0].ndim == 2:
+            return _quantize_one(np.asarray(dequantize(leaf)), qcfg)
+        L = leaf.planes[0].shape[0]
+        per = [_quantize_one(
+            np.asarray(dequantize(jax.tree.map(lambda a: a[i], leaf))), qcfg)
+            for i in range(L)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+
+    out = jax.tree.map(one, params,
+                       is_leaf=lambda l: isinstance(l, QTensor))
+    if not found[0]:
+        raise ValueError("params hold no quantized tensors; quantize at "
+                         "conversion time via Model.init(weight_dtype=...)")
+    return out
+
+
 def _stack_quantize(ws, qcfg: Optional[QuantConfig], dtype):
     """[L(,E),K,N] numpy → stacked QTensor pytree or plain jnp array."""
     if qcfg is None:

@@ -107,3 +107,91 @@ def test_verbose_timings(capsys, monkeypatch):
     m.generate([[3, 5]], max_new_tokens=3, stop_at_eos=False)
     out = capsys.readouterr().out
     assert "neural-tpu timings" in out and "decode" in out
+
+
+def test_quant_config_from_args():
+    from neural_tpu.api import quant_config_from_args
+    c = quant_config_from_args("int4", "asym", 128, "bf16", "int8")
+    assert (c.bits, c.sym, c.group_size, c.scale_dtype, c.act_bits) == \
+        (4, False, 128, "bf16", 8)
+    c = quant_config_from_args("int8", "sym", -1, "fp32", "bf16")
+    assert (c.bits, c.group_size, c.act_bits) == (8, -1, 16)
+    assert quant_config_from_args("nf4").kind == "nf4"
+    assert quant_config_from_args("q4_0") is nt.PRESETS["q4_0"]
+    assert quant_config_from_args(None) is None
+    assert quant_config_from_args("int4", use_ggml=True) is nt.PRESETS["q4_0"]
+    with pytest.raises(ValueError):
+        quant_config_from_args("int9000")
+
+
+def test_generate_hooks_streamer_stopping_interactive():
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype=None,
+                                      dtype="float32")
+    ref = m.generate([[3, 17, 91]], max_new_tokens=6, stop_at_eos=False)[0]
+
+    class Stream:
+        def __init__(self):
+            self.toks, self.ended = [], False
+
+        def put(self, ids):
+            self.toks.extend(np.asarray(ids).reshape(-1).tolist())
+
+        def end(self):
+            self.ended = True
+
+    st = Stream()
+    out = m.generate([[3, 17, 91]], max_new_tokens=6, stop_at_eos=False,
+                     streamer=st)[0]
+    assert out == ref and st.toks == ref and st.ended
+
+    # stopping_criteria fires after 2 new tokens
+    stop = lambda ids, scores: ids.shape[1] >= 3 + 2
+    out = m.generate([[3, 17, 91]], max_new_tokens=6, stop_at_eos=False,
+                     stopping_criteria=stop)[0]
+    assert out == ref[:5] and m.is_token_end()
+
+    # interactive: two rounds == one long round; round 2 returns only new ids
+    r1 = m.generate([[3, 17, 91]], max_new_tokens=3, stop_at_eos=False,
+                    interactive=True, max_len=64)[0]
+    assert r1 == ref[:6]
+    r2 = m.generate([[r1[-1] + 0]], max_new_tokens=0, stop_at_eos=False,
+                    interactive=True, max_len=64)
+    m.reset_kv_cache()
+    assert m._session is None
+
+    # ignore_prompt strips the prompt
+    out = m.generate([[3, 17, 91]], max_new_tokens=4, stop_at_eos=False,
+                     ignore_prompt=True)[0]
+    assert out == ref[3:7]
+
+
+def test_interactive_multi_round_matches_single():
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype=None,
+                                      dtype="float32")
+    one = m.generate([[3, 17, 91, 4, 7]], max_new_tokens=4,
+                     stop_at_eos=False)[0]
+    m.reset_kv_cache()
+    r1 = m.generate([[3, 17, 91]], max_new_tokens=0, interactive=True,
+                    stop_at_eos=False, max_len=64)
+    r2 = m.generate([[4, 7]], max_new_tokens=4, interactive=True,
+                    stop_at_eos=False, max_len=64)[0]
+    assert r2 == one[5:]
+
+
+def test_quant_model_file_to_file(tmp_path):
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype="q4_0",
+                                      dtype="float32")
+    p1 = str(tmp_path / "a.ntpu")
+    m.save(p1)
+    p2 = str(tmp_path / "b.ntpu")
+    nt.Model.quant_model(p1, p2, weight_dtype="int8", alg="sym",
+                         group_size=32, compute_dtype="bf16")
+    m2 = nt.Model().init_from_bin(p2)
+    from neural_tpu.core.qtensor import QTensor
+    import jax
+    qts = [l for l in jax.tree.leaves(
+        m2.params, is_leaf=lambda x: isinstance(x, QTensor))
+        if isinstance(l, QTensor)]
+    assert qts and all(q.cfg.bits == 8 for q in qts)
+    out = m2.generate([[5, 6, 7]], max_new_tokens=4, stop_at_eos=False)[0]
+    assert len(out) == 7
