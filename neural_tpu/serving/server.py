@@ -29,12 +29,53 @@ class Query:
 
 
 class ModelServer:
-    def __init__(self, params, cfg: ModelConfig,
-                 response_callback: Callable[[List[Seq]], None],
+    def __init__(self, params=None, cfg: Optional[ModelConfig] = None,
+                 response_callback: Callable[[List[Seq]], None] = None,
                  max_batch: int = 8, max_len: int = 2048,
                  sampling: Optional[SamplingParams] = None,
-                 kv_dtype="bfloat16", poll_interval: float = 0.001):
+                 kv_dtype="bfloat16", poll_interval: float = 0.001,
+                 model_path: Optional[str] = None, **server_kwargs):
+        """Either pass (params, cfg) directly, or ``model_path`` to a
+        converted checkpoint (the reference ctor form,
+        __init__.py:534-548). Reference server kwargs are accepted:
+        ctx_size → max_len, max_request_num/batch_size → max_batch,
+        memory_dtype ("auto"/"f16" → bf16, "int8"), max_new_tokens /
+        do_sample / top_k / top_p / temperature / repetition_penalty /
+        seed → default per-query sampling, return_prompt. ``threads``,
+        ``scratch_size_ratio``, ``continuous_batching`` (always on) and
+        ``print_log`` are accepted and ignored (XLA schedules compute)."""
         import jax.numpy as jnp
+        if model_path is not None and params is None:
+            from ..api import Model
+            m = Model().init_from_bin(model_path)
+            params, cfg = m.params, m.cfg
+        assert params is not None and cfg is not None
+        kw = dict(server_kwargs)
+        max_len = kw.pop("ctx_size", max_len) or max_len
+        max_batch = max(kw.pop("max_request_num", max_batch),
+                        kw.pop("batch_size", 1))
+        md = kw.pop("memory_dtype", None)
+        if md is not None:
+            kv_dtype = "int8" if md == "int8" else "bfloat16"
+        self.default_max_new_tokens = kw.pop("max_new_tokens", 128)
+        self.return_prompt = kw.pop("return_prompt", False)
+        if sampling is None and (kw.get("do_sample") or "temperature" in kw
+                                 or "top_k" in kw or "top_p" in kw
+                                 or "repetition_penalty" in kw):
+            sampling = SamplingParams(
+                greedy=not kw.pop("do_sample", False),
+                temperature=kw.pop("temperature", 0.8),
+                top_k=kw.pop("top_k", 40), top_p=kw.pop("top_p", 0.95),
+                repeat_penalty=kw.pop("repetition_penalty", 1.1))
+        for ignored in ("threads", "scratch_size_ratio",
+                        "continuous_batching", "print_log", "seed",
+                        "do_sample", "temperature", "top_k", "top_p",
+                        "repetition_penalty", "num_beams", "min_new_tokens",
+                        "length_penalty", "early_stopping", "pad_token",
+                        "n_keep", "n_discard", "shift_roped_k", "init_cb"):
+            kw.pop(ignored, None)
+        if kw:
+            raise TypeError(f"unknown server kwargs: {sorted(kw)}")
         kv = jnp.bfloat16 if kv_dtype == "bfloat16" else kv_dtype
         self.scheduler = Scheduler(params, cfg, max_batch=max_batch,
                                    max_len=max_len, sampling=sampling,
@@ -43,12 +84,20 @@ class ModelServer:
         self.poll_interval = poll_interval
         self._lock = threading.Lock()
         self._pending: List[Query] = []
+        self.finished: List[Seq] = []  # drained here when no callback
         self._running = True
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
-    def issueQuery(self, queries: Sequence[Query]):
-        """Thread-safe enqueue (main_pybind.cpp:230)."""
+    def issueQuery(self, queries, token_ids=None):
+        """Thread-safe enqueue (main_pybind.cpp:230). Accepts a list of
+        Query objects, a single Query, or the reference's
+        ``issueQuery(index, token_ids)`` form (__init__.py:549)."""
+        if token_ids is not None:
+            queries = [Query(queries, token_ids,
+                             self.default_max_new_tokens)]
+        elif isinstance(queries, Query):
+            queries = [queries]
         with self._lock:
             self._pending.extend(queries)
 
@@ -78,6 +127,10 @@ class ModelServer:
                 self.scheduler.step()
                 done = self.scheduler.pop_finished()
                 if done:
-                    self.callback(done)
+                    if self.callback is not None:
+                        self.callback(done)
+                    else:
+                        with self._lock:
+                            self.finished.extend(done)
             else:
                 time.sleep(self.poll_interval)

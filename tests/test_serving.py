@@ -105,3 +105,40 @@ def test_per_request_sampling(model):
     ref = ref_outputs(params, cfg, [[5, 9, 2]], 6)[0]
     assert done["greedy"] == ref
     assert len(done["hot"]) == 6  # sampled path ran
+
+
+def test_model_server_reference_kwargs(model, tmp_path):
+    """Reference ctor form: model_path + server kwargs + issueQuery(i, ids)
+    (neural_speed __init__.py:534-553)."""
+    import neural_tpu as nt
+
+    params, cfg = model
+    m = nt.Model()
+    m.params, m.cfg = params, cfg
+    p = str(tmp_path / "srv.ntpu")
+    m.save(p)
+
+    got = {}
+    srv = ModelServer(model_path=p,
+                      response_callback=lambda seqs: got.update(
+                          {s.request_id: list(s.output_ids) for s in seqs}),
+                      ctx_size=64, max_request_num=2, batch_size=1,
+                      memory_dtype="auto", max_new_tokens=4,
+                      continuous_batching=True, threads=8,
+                      scratch_size_ratio=2, do_sample=False,
+                      temperature=1.0, top_k=1, top_p=1.0,
+                      repetition_penalty=1.0, seed=3)
+    try:
+        srv.issueQuery(0, [3, 17, 91])
+        srv.issueQuery(Query(1, [9, 33], max_new_tokens=3))
+        t0 = time.time()
+        while (not srv.Empty() or len(got) < 2) and time.time() - t0 < 120:
+            time.sleep(0.05)
+    finally:
+        srv.stop()
+    assert set(got) == {0, 1}
+    assert len(got[0]) == 4 and len(got[1]) == 3
+
+    with pytest.raises(TypeError):
+        ModelServer(params=params, cfg=cfg, response_callback=lambda s: None,
+                    not_a_real_kwarg=1).stop()
