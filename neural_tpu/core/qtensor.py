@@ -28,7 +28,7 @@ path runs (a) on host for tests, (b) inside XLA for the fallback matmul, and
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -349,6 +349,25 @@ def to_native(qt: QTensor) -> QTensor:
     if zeros is not None and zeros.dtype != jnp.uint8:
         zeros = zeros.astype(jnp.bfloat16)
     return QTensor((fn(plane),), scales, zeros, qt.perm, cfg)
+
+
+def concat_n(qts: Sequence["QTensor"]) -> "QTensor":
+    """Concatenate QTensors along N (output features): the storage-level
+    analog of fusing QKV / gate-up projections into one GEMM (reference:
+    fused qkv ne_bestla.h:42; models build fused graphs per arch). All
+    inputs must share cfg, K, and have no act-order permutation. Works on
+    packed (uint8) planes outside jit — call once at load time."""
+    first = qts[0]
+    assert all(q.cfg == first.cfg for q in qts), "mixed quant configs"
+    assert all(q.K == first.K for q in qts), "mixed K"
+    assert all(q.perm is None for q in qts), "act-order tensors can't fuse"
+    planes = tuple(jnp.concatenate([q.planes[i] for q in qts], axis=-1)
+                   for i in range(len(first.planes)))
+    scales = jnp.concatenate([q.scales for q in qts], axis=-1)
+    zeros = None
+    if first.zeros is not None:
+        zeros = jnp.concatenate([q.zeros for q in qts], axis=-1)
+    return QTensor(planes, scales, zeros, None, first.cfg)
 
 
 NATIVE_DTYPES = (jnp.int4, jnp.uint4, jnp.int8)

@@ -83,9 +83,14 @@ def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None, lidx=None):
     if cfg.is_moe:
         return _moe_mlp(x, lp, cfg, tp_axis)
     if cfg.mlp_gated:
-        g = linear(x, lp["w_gate"], lp.get("b_gate"), lidx=lidx)
-        u = linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx)
-        h = _act(g, cfg.act) * u
+        if "w_gateup" in lp:  # fused gate|up GEMM (fuse_layer_weights)
+            gu = linear(x, lp["w_gateup"], lp.get("b_gateup"), lidx=lidx)
+            ng = lp["w_gateup"].N // 2
+            h = _act(gu[..., :ng], cfg.act) * gu[..., ng:]
+        else:
+            g = linear(x, lp["w_gate"], lp.get("b_gate"), lidx=lidx)
+            u = linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx)
+            h = _act(g, cfg.act) * u
     else:
         h = _act(linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx), cfg.act)
     down = linear(h, lp["w_down"], lidx=lidx)
@@ -196,9 +201,20 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     B, T, D = x.shape
     Dh = cfg.head_dim
 
-    q = linear(x, lp["wq"], lp.get("bq"), lidx=lidx)
-    k = linear(x, lp["wk"], lp.get("bk"), lidx=lidx)
-    v = linear(x, lp["wv"], lp.get("bv"), lidx=lidx)
+    if "wqkv" in lp:
+        # fused projection (runtime.generate.fuse_layer_weights; reference
+        # fused-QKV op ne_bestla.h:42) — single-device layout, so the
+        # segment widths come from cfg.
+        qkv = linear(x, lp["wqkv"], lp.get("bqkv"), lidx=lidx)
+        nq = cfg.n_heads * Dh
+        nkv = cfg.n_kv_heads * Dh
+        q = qkv[..., :nq]
+        k = qkv[..., nq:nq + nkv]
+        v = qkv[..., nq + nkv:]
+    else:
+        q = linear(x, lp["wq"], lp.get("bq"), lidx=lidx)
+        k = linear(x, lp["wk"], lp.get("bk"), lidx=lidx)
+        v = linear(x, lp["wv"], lp.get("bv"), lidx=lidx)
     # head counts derived from (possibly TP-sharded) local widths: under
     # shard_map each rank holds n_heads/tp heads (reference analog:
     # llama.cpp:117-123 n_head /= world_size).

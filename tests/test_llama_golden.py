@@ -105,3 +105,23 @@ def test_batched_decode_matches_single():
     out1 = greedy_generate(params, cfg, p1, max_new_tokens=6, stop_at_eos=False)
     out2 = greedy_generate(params, cfg, p1, max_new_tokens=6, stop_at_eos=False)
     assert out1 == out2
+
+
+def test_fused_qkv_gateup_matches_unfused(model):
+    """fuse_layer_weights must be numerically identical (same kernels, one
+    concatenated N dimension)."""
+    from neural_tpu.runtime.generate import fuse_layer_weights
+    params, cfg = from_hf_model(model, quant="q4_0")
+    prompt = np.array([[3, 17, 91, 4, 120, 5, 9, 33]], np.int32)
+    ref = np.asarray(batch_logits(params, cfg, prompt))
+    fused = fuse_layer_weights(params, cfg)
+    lp = fused["layers"]
+    assert "wqkv" in lp and "w_gateup" in lp and "wq" not in lp
+    out = np.asarray(batch_logits(fused, cfg, prompt))
+    np.testing.assert_array_equal(out, ref)
+    # greedy decode path too
+    a = greedy_generate(params, cfg, [3, 17, 91], max_new_tokens=6,
+                        stop_at_eos=False)
+    b = greedy_generate(fused, cfg, [3, 17, 91], max_new_tokens=6,
+                        stop_at_eos=False)
+    assert a == b
