@@ -665,12 +665,14 @@ def qmatmul_xla(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
 
 def _pick_tiles(M, K, N, g, bits, kind):
     """Choose (tm, tn, tk); None if untileable. M is padded up to tm by the
-    caller. Large tm for prefill so each weight tile is dequantized as few
-    times as possible; small tm for decode (bandwidth-bound)."""
+    caller. Large tm/tn for prefill so the x stripe and each dequantized
+    weight tile are re-read as few times as possible (hardware sweep on
+    v5e M=2048 7B shapes: tn 256→1024 lifts 139→176-185 TF/s; tk=512
+    beats 1024 once tn ≥ 1024); small tm for decode (bandwidth-bound)."""
     tm = 16
-    while tm * 2 <= 512 and M > tm:
+    while tm * 2 <= 1024 and M > tm:
         tm *= 2
-    tn = 256 if N % 256 == 0 else (128 if N % 128 == 0 else None)
+    tn = next((t for t in (1024, 512, 256, 128) if N % t == 0), None)
     if tn is None:
         return None
     # K-tile constraints:
@@ -682,8 +684,9 @@ def _pick_tiles(M, K, N, g, bits, kind):
     from ..core.dtypes import bit_planes
     min_plane = 8 if kind.startswith("fp8") else min(bit_planes(bits))
     align = 64 // min_plane
+    tk_cap = 512 if tn >= 1024 else 1024
     tk = g * 8
-    while tk * 2 <= 1024 and K % (tk * 2) == 0:
+    while tk * 2 <= tk_cap and K % (tk * 2) == 0:
         tk *= 2
     if K % tk or tk % align:
         tk = K  # single K-step: whole scales stripe read, no slicing
