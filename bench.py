@@ -49,14 +49,20 @@ def rand_quant_params(cfg: ModelConfig, quant="q4_0", seed=0):
         w = jax.random.normal(key, (shape_k, shape_n), jnp.float32) * 0.02
         return quantize(w, qcfg)
 
-    from neural_tpu.convert.hf import _shape_for
+    from neural_tpu.convert.hf import _shape_for, ffn_padded_size
     layer_names = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"]
     per_layer = {n: [] for n in layer_names}
     norms = {"attn_norm_w": [], "ffn_norm_w": []}
+    Ip = ffn_padded_size(cfg.intermediate_size)
     for i in range(cfg.n_layers):
         for n in layer_names:
             key, k2 = jax.random.split(key)
             K, N = _shape_for(n, cfg)
+            # conversion-time FFN padding (convert/hf.py build_params)
+            if n in ("w_gate", "w_up") and N == cfg.intermediate_size:
+                N = Ip
+            elif n == "w_down" and K == cfg.intermediate_size:
+                K = Ip
             per_layer[n].append(make(k2, K, N))
         for n in norms:
             norms[n].append(jnp.ones((cfg.hidden_size,), jnp.float32))

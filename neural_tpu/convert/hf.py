@@ -108,6 +108,27 @@ def _stack_quantize(ws, qcfg: Optional[QuantConfig], dtype):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
 
 
+def ffn_padded_size(I: int, tile: int = 1024, max_overhead: float = 0.05):
+    """Pad the FFN width to a ``tile`` multiple when cheap (≤5% extra):
+    the Pallas kernel's lane tile must divide N, and odd widths like
+    llama's 11008 (max 128-multiple divisor: 256) cap the matmul at
+    ~142 TF/s vs ~176 with tn=1024 (v5e sweep). Zero columns/rows are
+    exact: padded gate/up outputs are 0 and the padded w_down K-rows are
+    0, so no slicing is needed anywhere."""
+    t = -(-I // tile) * tile
+    return t if t <= I * (1 + max_overhead) else I
+
+
+def _pad_nk(w: np.ndarray, n_to: Optional[int] = None,
+            k_to: Optional[int] = None) -> np.ndarray:
+    pads = [(0, 0)] * w.ndim
+    if n_to is not None:
+        pads[-1] = (0, n_to - w.shape[-1])
+    if k_to is not None:
+        pads[-2] = (0, k_to - w.shape[-2])
+    return np.pad(w, pads) if any(p != (0, 0) for p in pads) else w
+
+
 def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
                  quant: Union[None, str, QuantConfig] = None,
                  dtype=jnp.bfloat16) -> Dict[str, Any]:
@@ -127,8 +148,21 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
     plain = [n for n in names if not n.startswith("experts.")]
     expert_subs = sorted({n.split(".", 2)[2] for n in names
                           if n.startswith("experts.")})
+    ffn_quant = qcfg is not None and \
+        {"w_up", "w_down"} <= (set(plain) & quant_names)
+    Ip = ffn_padded_size(cfg.intermediate_size) if ffn_quant else None
     for n in plain:
         ws = [_get(sd, *layer_maps[i][n]) for i in range(cfg.n_layers)]
+        if Ip is not None and Ip != cfg.intermediate_size:
+            if n in ("w_gate", "w_up") and ws[0].shape[-1] == \
+                    cfg.intermediate_size:
+                ws = [_pad_nk(w, n_to=Ip) for w in ws]
+            elif n == "w_down" and ws[0].shape[-2] == \
+                    cfg.intermediate_size:
+                ws = [_pad_nk(w, k_to=Ip) for w in ws]
+            elif n in ("b_gate", "b_up") and ws[0].shape[-1] == \
+                    cfg.intermediate_size:
+                ws = [np.pad(w, (0, Ip - w.shape[-1])) for w in ws]
         if n in quant_names and qcfg is not None and ws[0].ndim == 2:
             layers[n] = _stack_quantize(ws, qcfg, dtype)
         else:

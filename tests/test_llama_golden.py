@@ -125,3 +125,29 @@ def test_fused_qkv_gateup_matches_unfused(model):
     b = greedy_generate(fused, cfg, [3, 17, 91], max_new_tokens=6,
                         stop_at_eos=False)
     assert a == b
+
+
+def test_ffn_padding_exact():
+    """Odd intermediate sizes pad to the kernel lane tile (convert/hf.py
+    ffn_padded_size); zero cols/rows must be numerically invisible."""
+    import transformers as tr
+    from neural_tpu.convert.hf import ffn_padded_size
+    assert ffn_padded_size(11008) == 11264
+    assert ffn_padded_size(352) == 352      # >5% overhead: skipped
+    assert ffn_padded_size(4096) == 4096
+
+    cfg = tr.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=1000,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4)
+    torch.manual_seed(0)
+    hf = tr.LlamaForCausalLM(cfg).eval()
+    params, mcfg = from_hf_model(hf, quant="q8_0")
+    assert params["layers"]["w_gate"].N == 1024
+    assert params["layers"]["w_down"].K == 1024
+    prompt = np.array([[3, 17, 91, 4, 120, 5, 9, 33]], np.int32)
+    ours = np.asarray(batch_logits(params, mcfg, prompt))[0]
+    with torch.no_grad():
+        theirs = hf(torch.tensor(prompt.tolist())).logits[0].numpy()
+    cos = np.sum(ours * theirs, -1) / (
+        np.linalg.norm(ours, axis=-1) * np.linalg.norm(theirs, axis=-1))
+    assert cos.min() > 0.999, cos.min()
