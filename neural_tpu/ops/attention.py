@@ -403,9 +403,16 @@ def flash_prefill(q, k_cache, v_cache, starts, blk_t=256, blk_s=512,
     starts_bh = jnp.repeat(starts.astype(jnp.int32), Hq)
 
     grid = (B * Hq, T // blk_t, S // blk_s)
+
     # query stream bh = b*Hq + h_q reads KV head (bh % Hq) // G of batch
-    # row bh // Hq
-    kv_map = lambda bh, tb, sb, *_: (bh // Hq, (bh % Hq) // G, sb, 0)
+    # row bh // Hq. The S-block index is CLAMPED to the causal diagonal of
+    # this query tile: above-diagonal steps repeat the previous block, so
+    # their K/V DMAs are elided (the kernel already skips the compute) —
+    # ~half the KV stream at full-context prefill.
+    def kv_map(bh, tb, sb, starts):
+        smax = (starts[bh] + (tb + 1) * blk_t - 1) // blk_s
+        return (bh // Hq, (bh % Hq) // G,
+                jnp.minimum(sb, jnp.maximum(smax, 0)), 0)
     in_specs = [
         pl.BlockSpec((1, blk_t, Dh), lambda bh, tb, sb, *_: (bh, tb, 0)),
         pl.BlockSpec((1, 1, blk_s, Dh), kv_map),
