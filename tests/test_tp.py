@@ -98,3 +98,25 @@ def test_auto_mesh_layout():
     assert is_primary()  # single-process run
     mesh2 = auto_mesh()  # auto: tp = local devices
     assert mesh2.shape["dp"] * mesh2.shape["tp"] == 8
+
+
+def test_tp8_70b_shape_gqa():
+    """Llama-2-70B-shaped GQA at tp=8: 64 q heads / 8 kv heads → exactly
+    one kv head per rank (the BASELINE.json config-5 sharding), tiny dims.
+    Verifies the head-aligned split rules handle Hkv == tp."""
+    cfg = tiny_cfg(n_heads=64, n_kv_heads=8, head_dim=8, hidden_size=512,
+                   intermediate_size=1024, vocab_size=512)
+    params = init_random(cfg, quant="q4_0", dtype=jnp.float32)
+    tokens = np.array([[5, 9, 2, 7, 33, 1, 8, 20]], np.int32)
+    start = jnp.zeros((1,), jnp.int32)
+
+    cache = init_cache(cfg, 1, 32)
+    ref_logits, _ = model_step(params, jnp.asarray(tokens), start, cache, cfg)
+
+    mesh = make_mesh(dp=1, tp=8)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, 1, 32), mesh)
+    step = make_tp_step(params, cfg, mesh)
+    tp_logits, _ = step(sp, jnp.asarray(tokens), start, sc)
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               atol=2e-2, rtol=2e-2)
