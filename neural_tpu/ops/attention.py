@@ -129,11 +129,17 @@ def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int = 0,
     def _process():
         q = q_ref[...].reshape(G8, Dh).astype(jnp.float32)
         if kv_int8:
-            k = _i8f(k_ref[...].reshape(blk_s, Dh))
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+            # quantize q per row and dot int8×int8 on the MXU: the k tile
+            # never takes the int8→int32→f32 cast chain (the VPU cost that
+            # ate int8 KV's bandwidth win). q's extra rounding is ~0.4% on
+            # pre-softmax scores — under the int8 KV noise itself.
+            qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True) + 1e-9
+            q8 = jnp.round(q * (127.0 / qa)).astype(jnp.int8)
+            d = jax.lax.dot_general(q8, k_ref[...].reshape(blk_s, Dh),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
             ks = ks_ref[...].reshape(8, blk_s)[0:1, :]        # [1, blk_s]
-            s = s * (ks * scale)
+            s = d.astype(jnp.float32) * (qa * (scale / 127.0)) * ks
         else:
             k = k_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
             s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
