@@ -93,23 +93,25 @@ def attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
 
 
 def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int = 0,
-                   kv_int8: bool = False,
+                   kv_int8: bool = False, hb: int = 1,
                    softcap: float, scale: float, window: int,
                    stacked: bool = False):
-    """Grid (B, Hkv, S/blk_s) with S innermost; online softmax in scratch.
-    In stacked mode an extra prefetched layer-index scalar precedes the
-    tensor refs (consumed by the block index maps) and cache tiles carry a
-    leading length-1 layer dim."""
+    """Grid (B, Hkv/hb, S/blk_s) with S innermost; online softmax in
+    scratch. ``hb`` KV heads ride each grid step (one big DMA, a static
+    in-kernel loop) — per-step fixed costs dominate at low fill with
+    single-head steps. In stacked mode an extra prefetched layer-index
+    scalar precedes the tensor refs (consumed by the block index maps)
+    and cache tiles carry a leading length-1 layer dim."""
     if stacked:
         refs = refs[1:]              # drop lidx_ref
     i = 0
-    q_ref = refs[i]; i += 1          # [1, 1, G8, Dh]
-    k_ref = refs[i]; i += 1          # [(1,) 1, 1, blk_s, Dh]
+    q_ref = refs[i]; i += 1          # [1, hb, G8, Dh]
+    k_ref = refs[i]; i += 1          # [(1,) 1, hb, blk_s, Dh]
     v_ref = refs[i]; i += 1
     if kv_int8:
-        ks_ref = refs[i]; i += 1     # [(1,) 1, 1, 8, blk_s]
+        ks_ref = refs[i]; i += 1     # [(1,) 1, hb, 8, blk_s]
         vs_ref = refs[i]; i += 1
-    out_ref = refs[i]                # [1, 1, G8, Dh]
+    out_ref = refs[i]                # [1, hb, G8, Dh]
     m_ref, l_ref, acc_ref = refs[i + 1], refs[i + 2], refs[i + 3]
 
     b = pl.program_id(0)
@@ -127,46 +129,57 @@ def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int = 0,
 
     @pl.when(blk_start < length)
     def _process():
-        q = q_ref[...].reshape(G8, Dh).astype(jnp.float32)
+        qs_all = q_ref[...].reshape(hb, G8, Dh)
+        ks_all = k_ref[...].reshape(hb, blk_s, Dh)
+        vs_all = v_ref[...].reshape(hb, blk_s, Dh)
         if kv_int8:
-            # quantize q per row and dot int8×int8 on the MXU: the k tile
-            # never takes the int8→int32→f32 cast chain (the VPU cost that
-            # ate int8 KV's bandwidth win). q's extra rounding is ~0.4% on
-            # pre-softmax scores — under the int8 KV noise itself.
-            qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True) + 1e-9
-            q8 = jnp.round(q * (127.0 / qa)).astype(jnp.int8)
-            d = jax.lax.dot_general(q8, k_ref[...].reshape(blk_s, Dh),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            ks = ks_ref[...].reshape(8, blk_s)[0:1, :]        # [1, blk_s]
-            s = d.astype(jnp.float32) * (qa * (scale / 127.0)) * ks
-        else:
-            k = k_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
-            s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        if softcap:
-            s = softcap * jnp.tanh(s / softcap)
-        pos = blk_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            kssc = ks_ref[...].reshape(hb, 8, blk_s)
+            vssc = vs_ref[...].reshape(hb, 8, blk_s)
+        pos = blk_start + jax.lax.broadcasted_iota(jnp.int32, (G8, blk_s),
+                                                   1)
         mask = pos < length
         if window:
             mask = jnp.logical_and(mask, pos >= length - window)
-        s = jnp.where(mask, s, NEG)
+        for h in range(hb):
+            row = slice(h * G8, (h + 1) * G8)
+            q = qs_all[h].astype(jnp.float32)
+            if kv_int8:
+                # quantize q per row and dot int8×int8 on the MXU: the k
+                # tile never takes the int8→int32→f32 cast chain (the VPU
+                # cost that ate int8 KV's bandwidth win). q's extra
+                # rounding is ~0.4% on pre-softmax scores — under the int8
+                # KV noise itself.
+                qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True) + 1e-9
+                q8 = jnp.round(q * (127.0 / qa)).astype(jnp.int8)
+                d = jax.lax.dot_general(q8, ks_all[h],
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                ks = kssc[h][0:1, :]                          # [1, blk_s]
+                s = d.astype(jnp.float32) * (qa * (scale / 127.0)) * ks
+            else:
+                k = ks_all[h].astype(jnp.float32)
+                s = jax.lax.dot_general(q * scale, k,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            if softcap:
+                s = softcap * jnp.tanh(s / softcap)
+            s = jnp.where(mask, s, NEG)
 
-        m_prev = m_ref[...]                                    # [G8, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                                 # [G8, blk_s]
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
-        if kv_int8:
-            vs = vs_ref[...].reshape(8, blk_s)[0:1, :]
-            p = p * vs
-            v = _i8f(v_ref[...].reshape(blk_s, Dh))
-        else:
-            v = v_ref[...].reshape(blk_s, Dh).astype(jnp.float32)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = m_new
+            m_prev = m_ref[row, :]                             # [G8, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)                             # [G8, blk_s]
+            l_ref[row, :] = l_ref[row, :] * alpha + jnp.sum(
+                p, -1, keepdims=True)
+            if kv_int8:
+                p = p * vssc[h][0:1, :]
+                v = _i8f(vs_all[h])
+            else:
+                v = vs_all[h].astype(jnp.float32)
+            pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[row, :] = acc_ref[row, :] * alpha + pv
+            m_ref[row, :] = m_new
 
     @pl.when(sblk == pl.num_programs(2) - 1)
     def _finalize():
@@ -202,6 +215,12 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
     if G8 != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
 
+    # batch KV heads per grid step: fewer, larger DMAs (per-step fixed
+    # costs dominate at low fill with single-head steps). Cap so the k+v
+    # working set stays ~2 MB per step.
+    hb = next((h for h in (8, 4, 2, 1) if Hkv % h == 0
+               and h * blk_s * Dh * 2 * 2 <= (2 << 20)), 1)
+
     def cmap(f):
         # cache block index map; stacked mode prepends the layer index,
         # which arrives as the SECOND prefetched scalar (after lengths).
@@ -217,16 +236,18 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         return m
 
     in_specs = [
-        pl.BlockSpec((1, 1, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),
-        pl.BlockSpec((*lead, 1, 1, blk_s, Dh), cmap(lambda b, h, s: (b, h, s, 0))),
-        pl.BlockSpec((*lead, 1, 1, blk_s, Dh), cmap(lambda b, h, s: (b, h, s, 0))),
+        pl.BlockSpec((1, hb, G8, Dh), lambda b, h, s, *_: (b, h, 0, 0)),
+        pl.BlockSpec((*lead, 1, hb, blk_s, Dh),
+                     cmap(lambda b, h, s: (b, h, s, 0))),
+        pl.BlockSpec((*lead, 1, hb, blk_s, Dh),
+                     cmap(lambda b, h, s: (b, h, s, 0))),
     ]
     operands = [qg, k_cache, v_cache]
     if kv_int8:
         in_specs += [
-            pl.BlockSpec((*lead, 1, 1, 8, blk_s),
+            pl.BlockSpec((*lead, 1, hb, 8, blk_s),
                          cmap(lambda b, h, s: (b, h, 0, s))),
-            pl.BlockSpec((*lead, 1, 1, 8, blk_s),
+            pl.BlockSpec((*lead, 1, hb, 8, blk_s),
                          cmap(lambda b, h, s: (b, h, 0, s)))]
         operands += [k_scale, v_scale]
     scalars = [lengths.astype(jnp.int32)]
@@ -234,7 +255,7 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         scalars.append(jnp.asarray(lidx, jnp.int32).reshape(1))
 
     kern = functools.partial(
-        _decode_kernel, blk_s=blk_s, kv_int8=kv_int8,
+        _decode_kernel, blk_s=blk_s, kv_int8=kv_int8, hb=hb,
         softcap=float(softcap), scale=scale, window=int(window),
         stacked=stacked)
 
@@ -249,14 +270,14 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         nd = jnp.clip(need, 1, n_sblk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(B, Hkv, nd),
+        grid=(B, Hkv // hb, nd),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G8, Dh),
+        out_specs=pl.BlockSpec((1, hb, G8, Dh),
                                lambda b, h, s, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G8, 1), jnp.float32),
-            pltpu.VMEM((G8, 1), jnp.float32),
-            pltpu.VMEM((G8, Dh), jnp.float32),
+            pltpu.VMEM((hb * G8, 1), jnp.float32),
+            pltpu.VMEM((hb * G8, 1), jnp.float32),
+            pltpu.VMEM((hb * G8, Dh), jnp.float32),
         ],
     )
     out = pl.pallas_call(
