@@ -75,12 +75,16 @@ def _psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
-def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None, lidx=None):
+def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None, lidx=None,
+         ep_axis=None):
     """Under shard_map TP, w_gate/w_up are column-split (local output slice)
     and w_down is row-split → the down-proj result is a partial sum, reduced
     here with one psum (the reference's post-FFN ne_all_reduce,
     llama.cpp:693)."""
     if cfg.is_moe:
+        if ep_axis is not None:
+            from ..parallel.ep import ep_moe
+            return ep_moe(x, lp, cfg, ep_axis, tp_axis=tp_axis)
         return _moe_mlp(x, lp, cfg, tp_axis)
     if cfg.mlp_gated:
         if "w_gateup" in lp:  # fused gate|up GEMM (fuse_layer_weights)
@@ -184,9 +188,44 @@ def _moe_grouped(x, ex: Params, top_w, top_idx, cfg: ModelConfig,
     return _psum(out, tp_axis).reshape(B, T, D).astype(x.dtype)
 
 
+def _attend_nocache(q, kt, vt, positions, cfg: ModelConfig, slopes=None,
+                    sliding=None):
+    """Cache-free causal attention over the current block (training path).
+
+    q: [B, T, Hq, Dh]; kt/vt: [B, Hkv, T, Dh]; positions: [B, T] global.
+    f32 softmax; GQA by head-group reshape. The inference paths (attend /
+    flash_decode) never hit this — it exists for the training step and as
+    the single-device oracle for ring attention (parallel/sp.py)."""
+    B, T, Hq, Dh = q.shape
+    Hkv = kt.shape[1]
+    G = Hq // Hkv
+    scale = cfg.attn_scale if cfg.attn_scale is not None else Dh ** -0.5
+    qh = q.reshape(B, T, Hkv, G, Dh).transpose(0, 2, 3, 1, 4)
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32) * scale,
+                   kt.astype(jnp.float32))
+    if cfg.attn_softcap:
+        s = cfg.attn_softcap * jnp.tanh(s / cfg.attn_softcap)
+    kv_pos = positions[:, None, :]                             # [B, 1, Tk]
+    q_pos = positions[:, :, None]                              # [B, Tq, 1]
+    mask = kv_pos <= q_pos
+    if cfg.sliding_window and sliding is not None:
+        mask = mask & ((kv_pos > q_pos - cfg.sliding_window)
+                       | jnp.logical_not(sliding))
+    elif cfg.sliding_window:
+        mask = mask & (kv_pos > q_pos - cfg.sliding_window)
+    if cfg.use_alibi and slopes is not None:
+        dist = (kv_pos - q_pos).astype(jnp.float32)
+        s = s + (slopes.reshape(Hkv, G)[None, :, :, None, None]
+                 * dist[:, None, None, :, :])
+    s = jnp.where(mask[:, None, None, :, :], s, jnp.float32(-1e30))
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgts,bhsd->bhgtd", p, vt.astype(jnp.float32))
+    return o.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq * Dh)
+
+
 def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
                lidx, start, positions, inv_freqs, slopes, tp_axis=None,
-               sliding=None, table=None):
+               sliding=None, table=None, sp_axis=None):
     """x: [B, T, D]; k_all/v_all: FULL stacked caches [L, B, Hkv, S, Dh]
     (head-major, bf16 or int8 with scales [L, B, Hkv, 8, S]); ``lidx`` is
     this layer's index; start: [B] int32.
@@ -239,6 +278,23 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     # select (measured 4.2 ms/tok of copies on a 7B, ~30% of decode).
     kt = k.transpose(0, 2, 1, 3)                     # [B, Hkv, T, Dh]
     vt = v.transpose(0, 2, 1, 3)
+    if k_all is None:
+        # cache-free full-sequence attention (training / sequence-parallel
+        # path): attend within the current block only, causal over global
+        # `positions`. With sp_axis set, K/V blocks ring over the mesh
+        # (parallel/sp.py) so each rank only ever holds 1/sp of the sequence.
+        if sp_axis is not None:
+            from ..parallel.sp import ring_attend
+            out = ring_attend(q, kt, vt, positions, cfg, sp_axis,
+                              slopes=slopes, sliding=sliding)
+        else:
+            out = _attend_nocache(q, kt, vt, positions, cfg, slopes, sliding)
+        out = out.astype(x.dtype)
+        out = linear(out, lp["wo"], lidx=lidx)
+        out = _psum(out, tp_axis)
+        if lp.get("bo") is not None:
+            out = out + lp["bo"].astype(out.dtype)
+        return out, None, None, None, None
     if table is not None:
         # paged pool [(L,) P, Hkv, ps, Dh]: page-table writes + paged
         # attention (ops/paged_attention.py)
@@ -293,12 +349,12 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
 
 def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
            lidx, start, positions, inv_freqs, slopes, tp_axis=None,
-           table=None):
+           table=None, sp_axis=None, ep_axis=None):
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
     attn_out, k_all, v_all, ks_all, vs_all = _attention(
         h, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start, positions,
         inv_freqs, slopes, tp_axis, sliding=lp.get("use_sliding"),
-        table=table)
+        table=table, sp_axis=sp_axis)
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
                          lp.get("post_attn_norm_b"), cfg)
@@ -307,11 +363,11 @@ def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         # gptj shares one norm (params tie attn/ffn norm at conversion).
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg) \
             if "ffn_norm_w" in lp else h
-        x = x + attn_out + _mlp(h2, lp, cfg, tp_axis, lidx)
+        x = x + attn_out + _mlp(h2, lp, cfg, tp_axis, lidx, ep_axis)
     else:
         x = x + attn_out
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg)
-        mlp_out = _mlp(h2, lp, cfg, tp_axis, lidx)
+        mlp_out = _mlp(h2, lp, cfg, tp_axis, lidx, ep_axis)
         if cfg.post_ffn_norm:
             mlp_out = _norm(mlp_out, lp["post_ffn_norm_w"],
                             lp.get("post_ffn_norm_b"), cfg)
@@ -321,20 +377,27 @@ def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
 
 def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             cache: Tuple[jnp.ndarray, jnp.ndarray], cfg: ModelConfig,
-            logits_dtype=jnp.float32, tp_axis: Optional[str] = None):
+            logits_dtype=jnp.float32, tp_axis: Optional[str] = None,
+            sp_axis: Optional[str] = None, ep_axis: Optional[str] = None):
     """Run the decoder.
 
     tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
     number of tokens already processed per row); cache: KVCache with
-    head-major [L, B, Hkv, S, Dh] k/v (+ scales if int8). Returns
-    (logits [B, T, V], new_cache). Analog of model_eval (llama.cpp:790)
-    for prefill and decode alike.
+    head-major [L, B, Hkv, S, Dh] k/v (+ scales if int8), or None for the
+    cache-free full-sequence path (training / sp ring attention — with
+    ``sp_axis`` set, tokens are the rank's sequence shard and ``start``
+    must already include the shard offset). Returns (logits [B, T, V],
+    new_cache). Analog of model_eval (llama.cpp:790) for prefill and
+    decode alike.
     """
     from ..runtime.kvcache import KVCache
-    k_all, v_all = cache[0], cache[1]
-    ks_all = cache.k_scale if hasattr(cache, "k_scale") else None
-    vs_all = cache.v_scale if hasattr(cache, "v_scale") else None
-    table = getattr(cache, "table", None)  # paged pool (runtime/paged.py)
+    if cache is None:
+        k_all = v_all = ks_all = vs_all = table = None
+    else:
+        k_all, v_all = cache[0], cache[1]
+        ks_all = cache.k_scale if hasattr(cache, "k_scale") else None
+        vs_all = cache.v_scale if hasattr(cache, "v_scale") else None
+        table = getattr(cache, "table", None)  # paged pool (runtime/paged.py)
     B, T = tokens.shape
     positions = start[:, None] + jnp.arange(T)[None, :]        # [B, T]
 
@@ -380,7 +443,7 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all,
                 jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis,
-                table)
+                table, sp_axis, ep_axis)
     else:
         layers = params["layers"]
         L = jax.tree.leaves(layers)[0].shape[0]
@@ -390,7 +453,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             lp = make_lp(layers, lidx)
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
-                positions, inv_freqs, slopes, tp_axis, table)
+                positions, inv_freqs, slopes, tp_axis, table, sp_axis,
+                ep_axis)
             return (x, k_all, v_all, ks_all, vs_all), None
 
         (x, k_all, v_all, ks_all, vs_all), _ = jax.lax.scan(
@@ -415,6 +479,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     if table is not None:
         from ..runtime.paged import PagedKVCache
         new_cache = PagedKVCache(k_all, v_all, ks_all, vs_all, table)
+    elif k_all is None:
+        new_cache = None
     else:
         new_cache = KVCache(k_all, v_all, ks_all, vs_all)
     return logits.astype(logits_dtype), new_cache

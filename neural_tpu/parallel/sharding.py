@@ -26,12 +26,18 @@ from ..core.qtensor import QTensor
 from ..models.config import ModelConfig
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, devices=None, **axes) -> Mesh:
+    """Named device mesh. Default axes (dp, tp); extra axes may be given
+    by keyword in mesh-major order, e.g. make_mesh(dp=2, pp=2, tp=2)
+    builds ("dp", "pp", "tp"). Axis order fixes ICI locality: the LAST
+    axis varies fastest, so keep the chattiest axis (tp) last."""
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp
+    named = {"dp": dp, **axes}
+    named.setdefault("tp", tp)
+    n = int(np.prod(list(named.values())))
     assert len(devices) >= n, (len(devices), n)
-    arr = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(*named.values())
+    return Mesh(arr, tuple(named))
 
 
 # Split type per layer-param name. "col" = shard output dim (N) → no comm;
