@@ -92,7 +92,8 @@ def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36):
     def run(n):
         cache = init_cache(cfg, 1, S)
         pos = jnp.asarray([prompt_len], jnp.int32)
-        toks, cache = decode_loop(params, token, pos, cache, cfg, n)
+        toks, cache = decode_loop(params, token, pos, cache, cfg, n,
+                                  fill_hint=prompt_len + hi)
         return fetch(toks[-1])
 
     run(lo); run(hi)  # compile both

@@ -74,6 +74,13 @@ class ModelConfig:
     bos_token_id: int = 1
     eos_token_id: int = 2
 
+    # decode-attention S-block size (kernel tuning; None → 512). Small
+    # fills want small blocks (DMA tracks fill at block granularity),
+    # large fills want large blocks (fewer serialized online-softmax grid
+    # steps). decode_loop sets it from its fill hint; measured crossover
+    # ~384 on v5e (scripts/exp_attn_blk.py).
+    decode_blk_s: Optional[int] = None
+
     def __post_init__(self):
         if isinstance(self.rope_scaling, dict):
             object.__setattr__(self, "rope_scaling",

@@ -189,10 +189,11 @@ def _decode_kernel(lens_ref, *refs, blk_s: int, n_sblk: int = 0,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blk_s", "softcap", "scale", "window", "interpret"))
+    static_argnames=("blk_s", "softcap", "scale", "window", "interpret",
+                     "hb"))
 def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
                  slopes=None, blk_s=512, softcap=0.0, scale=None,
-                 window=0, interpret=False, lidx=None):
+                 window=0, interpret=False, lidx=None, hb=None):
     """q: [B, Hq, Dh]; caches [B, Hkv, S, Dh] — or the FULL stacked
     [L, B, Hkv, S, Dh] with ``lidx`` selecting the layer via a prefetched
     index (zero-copy under a layer scan); scales [(L,) B, Hkv, 8, S] or
@@ -216,10 +217,13 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
 
     # batch KV heads per grid step: fewer, larger DMAs (per-step fixed
-    # costs dominate at low fill with single-head steps). Cap so the k+v
-    # working set stays ~2 MB per step.
-    hb = next((h for h in (8, 4, 2, 1) if Hkv % h == 0
-               and h * blk_s * Dh * 2 * 2 <= (2 << 20)), 1)
+    # costs dominate at low fill with single-head steps). k+v working-set
+    # targets from the v5e sweep (scripts/exp_attn_blk.py): ~1 MB/step at
+    # blk 128 (hb=16 for Dh=128), ~2 MB at blk >= 256 (hb=8 at blk 512).
+    if hb is None:
+        cap = (1 << 20) if blk_s <= 128 else (2 << 20)
+        hb = next((h for h in (32, 16, 8, 4, 2, 1) if Hkv % h == 0
+                   and h * blk_s * Dh * 2 * 2 <= cap), 1)
 
     def cmap(f):
         # cache block index map; stacked mode prepends the layer index,
@@ -307,11 +311,13 @@ def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
     use_pallas = (force == "pallas" or interpret
                   or (force is None and backend == "tpu"))
     layer_sliding_ok = sliding is None  # per-layer traced flag → XLA path
+    blk_s = cfg.decode_blk_s or 512
     if (use_pallas and T == 1 and layer_sliding_ok and not cfg.use_alibi
-            and Dh % 128 == 0 and S % 512 == 0 and force != "xla"):
+            and Dh % 128 == 0 and S % 512 == 0 and S % blk_s == 0
+            and force != "xla"):
         out = flash_decode(
             q[:, 0], k_cache, v_cache, k_scale, v_scale,
-            lengths=positions[:, 0] + 1,
+            lengths=positions[:, 0] + 1, blk_s=blk_s,
             softcap=cfg.attn_softcap, window=cfg.sliding_window or 0,
             scale=(cfg.attn_scale if cfg.attn_scale is not None
                    else Dh ** -0.5),

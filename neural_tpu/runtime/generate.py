@@ -188,15 +188,30 @@ def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(3,))
-def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int):
+def pick_decode_blk(cfg: ModelConfig, fill_hint: Optional[int]):
+    """Tune the decode-attention S-block size for an expected fill
+    (measured crossover ~384 on v5e, scripts/exp_attn_blk.py)."""
+    if fill_hint is None:
+        return cfg
+    import dataclasses
+    return dataclasses.replace(cfg,
+                               decode_blk_s=128 if fill_hint <= 384 else 512)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "fill_hint"),
+         donate_argnums=(3,))
+def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
+                fill_hint: Optional[int] = None):
     """Fully on-device autoregressive greedy decode via lax.scan.
 
     Unlike the reference (one Python↔C++ crossing per token,
     main_pybind.cpp:609), the whole loop runs on-device: token [B, 1],
     pos [B] → (tokens [n_steps, B], final cache). This is the production
-    decode path and the benchmark unit.
+    decode path and the benchmark unit. ``fill_hint`` (static): expected
+    KV fill at the end of the run, used to tune the attention kernel's
+    block size.
     """
+    cfg = pick_decode_blk(cfg, fill_hint)
     params = prepare_params(params)
 
     def body(carry, _):
