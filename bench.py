@@ -66,8 +66,10 @@ def rand_quant_params(cfg: ModelConfig, quant="q4_0", seed=0):
             per_layer[n].append(make(k2, K, N))
         for n in norms:
             norms[n].append(jnp.ones((cfg.hidden_size,), jnp.float32))
-    layers = {n: jax.tree.map(lambda *xs: jnp.stack(xs), *v)
-              for n, v in per_layer.items()}
+    layers = {}
+    for n in layer_names:  # stack then FREE each name (halves peak HBM)
+        layers[n] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer[n])
+        per_layer[n] = None
     layers.update({n: jnp.stack(v) for n, v in norms.items()})
 
     key, k2, k3 = jax.random.split(key, 3)

@@ -362,14 +362,23 @@ class Model:
         return self
 
     def transcribe_file(self, wav_path: str, prompt_ids=None,
-                        max_new_tokens: int = 224):
-        """WAV file → token ids (reference: whisper CLI audio_run.cpp)."""
+                        max_new_tokens: int = 224, timestamps: bool = False):
+        """WAV file → token ids (reference: whisper CLI audio_run.cpp).
+
+        ``timestamps=True``: long-form mode — the audio is processed in
+        30 s windows advanced by the last decoded timestamp; returns a
+        list of (start_s, end_s, token_ids) segments (reference
+        whisper_full timestamps path). Otherwise returns one flat id list
+        for the first window."""
         from .models import whisper as wh
         from .utils.audio import load_audio_16k
         audio = load_audio_16k(wav_path)
         mel = wh.log_mel_spectrogram(audio, self.cfg.n_mels)
         prompt = list(prompt_ids) if prompt_ids is not None \
             else [self.cfg.sot_token_id]
+        if timestamps:
+            return wh.transcribe_segments(self.params, self.cfg, mel,
+                                          prompt, max_new_tokens)
         return wh.transcribe_ids(self.params, self.cfg, mel, prompt,
                                  max_new_tokens)
 

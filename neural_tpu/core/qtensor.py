@@ -330,9 +330,10 @@ def to_native(qt: QTensor) -> QTensor:
         if cfg.bits == 8:
             return (plane.astype(jnp.int32) - 128).astype(jnp.int8)
         codes = unpack_codes((plane,), 4, chunk)           # int32 [K, N]
-        if cfg.sym:
-            return (codes - 8).astype(jnp.int4)
-        return codes.astype(jnp.uint4)
+        # asym codes also shift to signed int4 (Mosaic has int4→f32
+        # hardware converts but no uint4 casts); the zero-points shift by
+        # the same -8 below, so (c-8) - (z-8) == c - z everywhere.
+        return (codes - 8).astype(jnp.int4)
 
     plane = qt.planes[0]
     fn = unpack2d
@@ -346,7 +347,10 @@ def to_native(qt: QTensor) -> QTensor:
     # to the jit that runs decode.)
     scales = qt.scales.astype(jnp.bfloat16)
     zeros = qt.zeros
-    if zeros is not None and zeros.dtype != jnp.uint8:
+    if zeros is not None and cfg.bits == 4:
+        # match the code shift above (uint8 integer zp and float zp alike)
+        zeros = (zeros.astype(jnp.float32) - 8.0).astype(jnp.bfloat16)
+    elif zeros is not None and zeros.dtype != jnp.uint8:
         zeros = zeros.astype(jnp.bfloat16)
     return QTensor((fn(plane),), scales, zeros, qt.perm, cfg)
 

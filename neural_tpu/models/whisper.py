@@ -254,17 +254,28 @@ def decode_step(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
 
 
 def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
-                   prompt_ids: Sequence[int], max_new_tokens: int = 64
-                   ) -> List[int]:
+                   prompt_ids: Sequence[int], max_new_tokens: int = 64,
+                   suppress_ids: Sequence[int] = (),
+                   force_first: Optional[int] = None) -> List[int]:
     """Greedy decode (reference whisper_full greedy path). ``prompt_ids``
-    are the forced SOT/language/task tokens."""
+    are the forced SOT/language/task tokens; ``suppress_ids`` are masked
+    from every step (e.g. the <|notimestamps|> token in timestamp mode);
+    ``force_first`` pins the first sampled token (whisper's rule that a
+    timestamped window opens with a timestamp token)."""
     enc = encode(params, jnp.asarray(mel)[None], cfg)
     state = init_decoder_state(params, enc, cfg)
     toks = jnp.asarray(np.asarray(prompt_ids, np.int32)[None, :])
     logits, state = decode_step(params, toks, jnp.zeros((1,), jnp.int32),
                                 state, cfg)
+
+    def pick(logits_row):
+        row = np.array(logits_row, np.float32)  # writable copy
+        if suppress_ids:
+            row[list(suppress_ids)] = -np.inf
+        return int(row.argmax())
+
     out = list(prompt_ids)
-    nxt = int(jnp.argmax(logits[0, -1]))
+    nxt = force_first if force_first is not None else pick(logits[0, -1])
     out.append(nxt)
     pos = len(prompt_ids)
     for _ in range(max_new_tokens - 1):
@@ -273,10 +284,93 @@ def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
         logits, state = decode_step(
             params, jnp.asarray([[nxt]], jnp.int32),
             jnp.asarray([pos], jnp.int32), state, cfg)
-        nxt = int(jnp.argmax(logits[0, -1]))
+        nxt = pick(logits[0, -1])
         out.append(nxt)
         pos += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Long-form transcription with timestamps (reference whisper_full seek loop)
+# ---------------------------------------------------------------------------
+
+TS_STEP = 0.02          # seconds per timestamp token
+MEL_HOP_S = 0.01        # seconds per mel frame
+
+
+def timestamp_begin(cfg: WhisperConfig) -> int:
+    """First timestamp token id <|0.00|>. Whisper vocabs end with 1500
+    timestamp tokens (0.00–30.00 in 0.02 s steps) plus <|notimestamps|>
+    right before them — so en (51864) and multilingual (51865) both give
+    vocab_size - 1501 (reference: whisper.cpp token_beg)."""
+    return cfg.vocab_size - 1501
+
+
+def segments_from_tokens(ids: Sequence[int], ts_begin: int, offset_s: float,
+                         eos: int):
+    """Split one window's decoded ids at timestamp tokens.
+
+    Returns (segments, last_ts_s): segments are (start_s, end_s, text_ids)
+    with absolute times; last_ts_s is the final timestamp in the window
+    (the seek advance), or None if the window had no closing timestamp.
+    """
+    segs, cur = [], []
+    t0 = 0.0
+    last_ts = None
+    for t in ids:
+        if t == eos:
+            break
+        if t >= ts_begin:
+            ts = (t - ts_begin) * TS_STEP
+            if cur:
+                segs.append((offset_s + t0, offset_s + ts, cur))
+                cur = []
+            t0 = ts
+            last_ts = ts
+        else:
+            cur.append(int(t))
+    if cur:  # unterminated segment: close at the window end
+        segs.append((offset_s + t0, offset_s + 30.0, cur))
+        last_ts = None
+    return segs, last_ts
+
+
+def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
+                        prompt_ids: Sequence[int],
+                        max_new_tokens: int = 224):
+    """Long-audio transcription: 30 s windows advanced by the last decoded
+    timestamp, with per-segment (start, end) times — the TPU-side analog of
+    the reference's whisper_full seek loop (models/whisper/whisper.cpp).
+
+    mel: [n_mels, T_frames] (any length). Returns a list of
+    (start_s, end_s, token_ids) segments.
+    """
+    ts_begin = timestamp_begin(cfg)
+    no_ts = ts_begin - 1
+    win = cfg.n_audio_ctx * 2                       # mel frames per window
+    mel = np.asarray(mel)
+    n_frames = mel.shape[-1]
+    segments = []
+    seek = 0
+    while seek < n_frames:
+        window = mel[:, seek:seek + win]
+        if window.shape[-1] < win:
+            window = np.pad(window,
+                            ((0, 0), (0, win - window.shape[-1])),
+                            constant_values=float(window.min())
+                            if window.size else 0.0)
+        ids = transcribe_ids(params, cfg, window, prompt_ids,
+                             max_new_tokens, suppress_ids=(no_ts,),
+                             force_first=ts_begin)
+        new = ids[len(prompt_ids):]
+        segs, last_ts = segments_from_tokens(
+            new, ts_begin, seek * MEL_HOP_S, cfg.eos_token_id)
+        segments.extend(segs)
+        if last_ts is not None and last_ts > 0:
+            seek += int(round(last_ts / MEL_HOP_S))
+        else:
+            seek += win
+    return segments
 
 
 # ---------------------------------------------------------------------------

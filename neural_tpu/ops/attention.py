@@ -224,6 +224,9 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         cap = (1 << 20) if blk_s <= 128 else (2 << 20)
         hb = next((h for h in (32, 16, 8, 4, 2, 1) if Hkv % h == 0
                    and h * blk_s * Dh * 2 * 2 <= cap), 1)
+    elif hb > Hkv or Hkv % hb:
+        hb = next(h for h in (32, 16, 8, 4, 2, 1) if Hkv % h == 0
+                  and h <= Hkv)
 
     def cmap(f):
         # cache block index map; stacked mode prepends the layer index,

@@ -220,6 +220,32 @@ class Scheduler:
                         prev_tokens=jnp.asarray([hist], jnp.int32))
         return int(tok[0])
 
+    def _sample_many(self, logits: np.ndarray, seqs: List[Sequence]):
+        """Sample every slot with ONE device call per distinct
+        SamplingParams (usually one). Per-slot sample() calls cost a
+        blocking host↔device round trip each — measured 12 tok/s aggregate
+        vs the decode step itself at ~6 ms on the tunneled runtime."""
+        toks = np.zeros(len(seqs), np.int64)
+        groups: Dict[SamplingParams, List[int]] = {}
+        for i, seq in enumerate(seqs):
+            groups.setdefault(seq.sampling or self.sampling, []).append(i)
+        for sp, idxs in groups.items():
+            self.key, sub = jax.random.split(self.key)
+            rl = max(sp.repeat_last_n, 1)
+            hist = np.zeros((len(idxs), rl), np.int32)
+            valid = np.zeros((len(idxs), rl), bool)
+            for j, i in enumerate(idxs):
+                h = (seqs[i].prompt_ids + seqs[i].output_ids)[-rl:]
+                hist[j, :len(h)] = h
+                valid[j, :len(h)] = True
+            t, _ = sample(jnp.asarray(logits[idxs]), sub, sp,
+                          prev_tokens=jnp.asarray(hist),
+                          prev_valid=jnp.asarray(valid))
+            t = np.asarray(t)
+            for j, i in enumerate(idxs):
+                toks[i] = int(t[j])
+        return toks
+
     def _prefill(self, seq: Sequence):
         slot = self.free_slots.pop()
         T = len(seq.prompt_ids)
@@ -270,12 +296,19 @@ class Scheduler:
             self._table_dirty = False
         toks = jnp.asarray(self._next_tokens[:, None].astype(np.int32))
         lens = jnp.asarray(self.lengths.astype(np.int32))
+        # fill-hinted attention block size (two variants max → at most one
+        # extra compile when the longest slot crosses the threshold)
+        from ..runtime.generate import pick_decode_blk
+        cfg = pick_decode_blk(self.cfg, int(self.lengths.max()) + 1)
         logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
-                                         self.cfg)
+                                         cfg)
         logits = np.asarray(logits, np.float32)
-        for slot, seq in list(self.running.items()):
+        items = list(self.running.items())
+        toks = self._sample_many(logits[[s for s, _ in items]],
+                                 [q for _, q in items])
+        for (slot, seq), tok in zip(items, toks):
             self.lengths[slot] += 1
-            tok = self._sample_one(jnp.asarray(logits[slot]), seq)
+            tok = int(tok)
             seq.output_ids.append(tok)
             self._next_tokens[slot] = tok
             self._maybe_finish(seq)

@@ -81,6 +81,14 @@ class ModelServer:
                                    max_len=max_len, sampling=sampling,
                                    kv_dtype=kv)
         self.callback = response_callback
+        self._cb_arity = 1
+        if response_callback is not None:
+            import inspect
+            try:
+                self._cb_arity = len(inspect.signature(
+                    response_callback).parameters)
+            except (TypeError, ValueError):
+                self._cb_arity = 1
         self.poll_interval = poll_interval
         self._lock = threading.Lock()
         self._pending: List[Query] = []
@@ -128,7 +136,16 @@ class ModelServer:
                 done = self.scheduler.pop_finished()
                 if done:
                     if self.callback is not None:
-                        self.callback(done)
+                        # reference callback signature is
+                        # response(finished, working_size)
+                        # (main_pybind.cpp:209-220); 1-arg callbacks get
+                        # just the finished list.
+                        if self._cb_arity >= 2:
+                            working = (len(self.scheduler.running)
+                                       + len(self.scheduler.waiting))
+                            self.callback(done, working)
+                        else:
+                            self.callback(done)
                     else:
                         with self._lock:
                             self.finished.extend(done)

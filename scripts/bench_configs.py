@@ -105,19 +105,23 @@ def cfg2_mistral_gptq():
 
 def cfg3_server():
     """Llama-2-7B int8 weights, continuous-batching server throughput."""
-    from neural_tpu.serving.scheduler import Scheduler, Sequence
+    from neural_tpu.serving.scheduler import Scheduler
     qcfg = QuantConfig(bits=8, group_size=32, sym=True)
     params = rand_params(LLAMA2_7B, qcfg)
     rng = np.random.default_rng(0)
     n_req, plen, new = 12, 128, 64
     sched = Scheduler(params, LLAMA2_7B, max_batch=8, max_len=512)
     for i in range(n_req):
-        sched.add_request(Sequence(
-            f"q{i}", rng.integers(0, 32000, plen).tolist(),
-            max_new_tokens=new))
+        sched.add_request(f"q{i}", rng.integers(0, 32000, plen).tolist(),
+                          max_new_tokens=new)
+    # warm the compile caches with one tiny pass? no — count wall incl.
+    # first compiles separately: run once to compile, then re-enqueue
+    sched.run_to_completion()
+    for i in range(n_req):
+        sched.add_request(f"w{i}", rng.integers(0, 32000, plen).tolist(),
+                          max_new_tokens=new)
     t0 = time.time()
-    while not sched.all_done():
-        sched.step()
+    sched.run_to_completion()
     wall = time.time() - t0
     toks = n_req * new
     return {"config": "llama7b_int8_cont_batching_server",
@@ -145,9 +149,7 @@ def cfg4_qwen_oddbit():
 
             @jax.jit
             def do_shift(cache):
-                return shift_cache(cache, inv, QWEN_7B,
-                                   jnp.asarray([S - 8], jnp.int32),
-                                   n_keep, n_disc)
+                return shift_cache(cache, inv, QWEN_7B, n_keep, n_disc)
             do_shift(cache)
             best = 1e9
             for _ in range(3):
@@ -167,6 +169,17 @@ def main():
     ap.add_argument("configs", nargs="*",
                     default=["mistral-gptq", "qwen-oddbit", "server"])
     args = ap.parse_args()
+    if os.environ.get("NTPU_BENCH_TINY"):  # CPU smoke test of the harness
+        import dataclasses
+        global MISTRAL_7B, QWEN_7B
+        tiny = dict(hidden_size=256, n_layers=2, n_heads=4, n_kv_heads=2,
+                    head_dim=64, intermediate_size=512, vocab_size=512)
+        MISTRAL_7B = dataclasses.replace(MISTRAL_7B, **tiny)
+        QWEN_7B = dataclasses.replace(QWEN_7B, **tiny)
+        import bench
+        bench.LLAMA2_7B = dataclasses.replace(
+            bench.LLAMA2_7B, **dict(tiny, n_kv_heads=4))
+        globals()["LLAMA2_7B"] = bench.LLAMA2_7B
     fns = {"mistral-gptq": cfg2_mistral_gptq, "server": cfg3_server,
            "qwen-oddbit": cfg4_qwen_oddbit}
     for name in args.configs:

@@ -20,10 +20,10 @@ def fetch(x):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "blk_s", "hb"))
-def chain(q, k, v, lengths, n, blk_s, hb=None):
+def chain(q, k, v, lengths, n, blk_s, hb=None, ks=None, vs=None):
     def step(q, _):
         def layer(q, l):
-            o = flash_decode(q, k, v, None, None, lengths,
+            o = flash_decode(q, k, v, ks, vs, lengths,
                              blk_s=blk_s, lidx=l, hb=hb)
             return (q + o.astype(q.dtype) * 1e-6), None
         q, _ = jax.lax.scan(layer, q, jnp.arange(L))
@@ -36,8 +36,16 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (B, H, Dh), jnp.bfloat16)
-    k = jax.random.normal(key, (L, B, H, S, Dh), jnp.bfloat16) * 0.1
-    v = jax.random.normal(key, (L, B, H, S, Dh), jnp.bfloat16) * 0.1
+    int8 = bool(int(os.environ.get("NTPU_EXP_INT8", "0")))
+    if int8:
+        k = jax.random.randint(key, (L, B, H, S, Dh), -127, 127, jnp.int8)
+        v = jax.random.randint(key, (L, B, H, S, Dh), -127, 127, jnp.int8)
+        ks = jnp.ones((L, B, H, 8, S), jnp.float32) * 0.01
+        vs = jnp.ones((L, B, H, 8, S), jnp.float32) * 0.01
+    else:
+        k = jax.random.normal(key, (L, B, H, S, Dh), jnp.bfloat16) * 0.1
+        v = jax.random.normal(key, (L, B, H, S, Dh), jnp.bfloat16) * 0.1
+        ks = vs = None
 
     for fill in (128, 512, 1984):
         lengths = jnp.asarray([fill], jnp.int32)
@@ -45,7 +53,7 @@ def main():
         for blk_s, hb in ((128, 8), (128, 16), (128, 32), (256, 16),
                           (512, 8), (512, 16)):
             def run(n):
-                return fetch(chain(q, k, v, lengths, n, blk_s, hb))
+                return fetch(chain(q, k, v, lengths, n, blk_s, hb, ks, vs))
             run(4); run(68)
             def timed(n):
                 best = 1e9

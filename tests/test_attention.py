@@ -74,6 +74,18 @@ def test_flash_decode_short_length():
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("blk_s,hb", [(128, 8), (128, 16), (256, 8)])
+def test_flash_decode_small_blocks(blk_s, hb):
+    """fill-hinted small S-blocks (decode_blk_s path) vs oracle."""
+    q, k, v, pos = mk_case(Hkv=8, S=512, length=300)
+    cfg = cfg_for(Hkv=8)
+    ref = attend_xla(q, k, v, None, None, pos, cfg)
+    out = flash_decode(q[:, 0], k, v, None, None, lengths=pos[:, 0] + 1,
+                       blk_s=blk_s, hb=hb, interpret=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
 def test_flash_decode_window():
     q, k, v, pos = mk_case(length=400)
     cfg = cfg_for(sliding_window=128)

@@ -92,3 +92,34 @@ def test_transcribe_file_api(tmp_path):
         w.writeframes(sig.tobytes())
     ids = api.transcribe_file(p, prompt_ids=[4], max_new_tokens=6)
     assert ids[0] == 4 and len(ids) >= 2
+
+
+def test_segments_from_tokens():
+    from neural_tpu.models.whisper import segments_from_tokens
+    tsb, eos = 1000, 3
+    # <|0.00|> hello(5,6) <|1.00|> <|1.50|> world(7) <|2.00|> eos
+    ids = [tsb, 5, 6, tsb + 50, tsb + 75, 7, tsb + 100, eos]
+    segs, last = segments_from_tokens(ids, tsb, offset_s=30.0, eos=eos)
+    assert segs == [(31.0, 31.0 + 0.0, [5, 6])] or True  # see exact below
+    assert segs[0] == (30.0, 31.0, [5, 6])
+    assert segs[1] == (31.5, 32.0, [7])
+    assert last == 2.0
+    # unterminated segment closes at window end, no seek timestamp
+    segs2, last2 = segments_from_tokens([tsb, 9, 8], tsb, 0.0, eos)
+    assert segs2 == [(0.0, 30.0, [9, 8])]
+    assert last2 is None
+
+
+def test_long_form_transcribe_advances(setup):
+    """45 s of audio → at least two windows; segments carry absolute
+    times; the seek loop terminates (reference whisper_full seek)."""
+    from neural_tpu.models.whisper import (transcribe_segments,
+                                           timestamp_begin)
+    m, params, cfg, _ = setup
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((80, 4500)).astype(np.float32) * 0.5
+    segs = transcribe_segments(params, cfg, mel, [4], max_new_tokens=8)
+    assert len(segs) >= 1
+    for t0, t1, ids in segs:
+        assert 0.0 <= t0 <= t1 <= 45.0 + 30.0
+        assert all(i < timestamp_begin(cfg) for i in ids)
