@@ -146,8 +146,13 @@ def main():
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
     tps, ms_per_tok = bench_decode(params, cfg)
+    # the reference's own condition: next-token latency AFTER the
+    # 1975-token prompt (docs/fused_attention.md:111 measures the 4th
+    # generated token of that prompt)
+    _, ms_longfill = bench_decode(params, cfg, prompt_len=1975)
     ttft_ms = bench_prefill(params, cfg)
-    print(f"# decode {ms_per_tok:.2f} ms/tok, prefill(1975) {ttft_ms:.0f} ms",
+    print(f"# decode {ms_per_tok:.2f} ms/tok (fill 128), "
+          f"{ms_longfill:.2f} (fill 1975), prefill(1975) {ttft_ms:.0f} ms",
           file=sys.stderr)
 
     print(json.dumps({
@@ -157,6 +162,8 @@ def main():
         "vs_baseline": round(tps / BASELINE_DECODE_TPS, 2),
         "extra": {
             "next_token_ms": round(ms_per_tok, 2),
+            "next_token_ms_fill1975": round(ms_longfill, 2),
+            "decode_tps_fill1975": round(1000.0 / ms_longfill, 2),
             "ttft_1975_ms": round(ttft_ms, 1),
             "ttft_vs_baseline": round(BASELINE_TTFT_MS / max(ttft_ms, 1e-9), 2),
             "baseline_next_token_ms": 41.27,

@@ -112,6 +112,39 @@ _GPTQ_SUFFIX = {
 }
 
 
+def permute_cols(qt: QTensor, p: np.ndarray) -> QTensor:
+    """Reorder a QTensor's OUTPUT columns (N dim): planes are packed along
+    K only, so a column take on planes/scales/zeros is exact."""
+    planes = tuple(pl[..., p] for pl in qt.planes)
+    zeros = None if qt.zeros is None else qt.zeros[..., p]
+    return QTensor(planes, qt.scales[..., p], zeros, qt.perm, qt.cfg)
+
+
+def fold_act_order(per_layer: Dict[str, list], cfg) -> None:
+    """Fold w_down's act-order permutation into gate/up OUTPUT columns.
+
+    w_down's stored rows are W[perm]; instead of gathering its activations
+    at every decode step (~60 us/layer/token of TPU lane-gather or one-hot
+    matmul), emit the gate/up projections directly in that order — the
+    SiLU⊗up elementwise block between them commutes with any column
+    permutation, so this is exact. The q/k/v/o perms cannot fold (their
+    producers mix positions: rms-norm over the residual, attention over
+    tokens) and stay as runtime gathers.
+    """
+    if "w_down" not in per_layer:
+        return
+    for i, wd in enumerate(per_layer["w_down"]):
+        if wd.perm is None:
+            continue
+        if not ("w_gate" in per_layer and "w_up" in per_layer):
+            continue
+        p = np.asarray(wd.perm)
+        per_layer["w_gate"][i] = permute_cols(per_layer["w_gate"][i], p)
+        per_layer["w_up"][i] = permute_cols(per_layer["w_up"][i], p)
+        per_layer["w_down"][i] = QTensor(wd.planes, wd.scales, wd.zeros,
+                                         None, wd.cfg)
+
+
 def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
                                 fmt: str = "gptq", bits: int = 4,
                                 zero_plus_one: Optional[bool] = None,
@@ -144,6 +177,7 @@ def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
         norms["ffn_norm_w"].append(
             np.asarray(sd[p + "post_attention_layernorm.weight"], np.float32))
 
+    fold_act_order(per_layer, cfg)
     layers = {n: jax.tree.map(lambda *xs: jnp.stack(xs), *v)
               for n, v in per_layer.items()}
     layers.update({n: jnp.asarray(np.stack(v)) for n, v in norms.items()})

@@ -310,34 +310,38 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def to_native(qt: QTensor) -> QTensor:
-    """Convert a packed int QTensor to native sub-/full-byte signed codes.
+    """Convert a packed int QTensor to native signed codes for decode.
 
-    4-bit → jnp.int4 (sym, centered) / jnp.uint4 (asym); 8-bit sym →
-    centered jnp.int8. The hardware intN→f32 convert feeding the decode
-    kernel's f32 dequant beats shift/mask unpacking for decode (VPU-bound;
-    measured 660 vs 230 GB/s on v5e). Call INSIDE a jit (ideally once,
-    before a scan over decode steps): int4 arrays cannot cross jit
-    boundaries on some runtimes. No-op for other kinds/widths.
+    Codes remap LOSSLESSLY into the next hardware-convertible width:
+    2–4 bit → jnp.int4, 5–8 bit → jnp.int8, centered by -2^(bits-1) (the
+    zero-points shift by the same amount, so (c-S) - (z-S) == c - z
+    everywhere). Why: the decode kernel's dequant is fed by the TPU's
+    hardware intN→f32 convert, which streams weights at ~660 (int4) /
+    ~750 (int8) GB/s on v5e, vs ~70-230 GB/s for VPU shift/mask bit-plane
+    unpacking — an int3 tensor decoded as int4 codes moves 33% more HBM
+    bytes yet runs ~7x faster end-to-end (39 → ~5.5 ms/tok on a 7B,
+    scripts/exp_variants.py). Call INSIDE a jit (ideally once, before a
+    scan over decode steps): int4 arrays cannot cross jit boundaries on
+    some runtimes. No-op for non-int kinds and 1-bit (sign) weights.
     """
     cfg = qt.cfg
     if cfg.kind != "int" or qt.planes[0].dtype != jnp.uint8:
         return qt
-    if cfg.bits not in (4, 8) or (cfg.bits == 8 and not cfg.sym):
+    if cfg.bits < 2:
         return qt
     chunk = pack_chunk(cfg, qt.K)
+    target = jnp.int4 if cfg.bits <= 4 else jnp.int8
+    shift = 1 << (cfg.bits - 1)
 
-    def unpack2d(plane):
+    def unpack2d(*planes):
         if cfg.bits == 8:
-            return (plane.astype(jnp.int32) - 128).astype(jnp.int8)
-        codes = unpack_codes((plane,), 4, chunk)           # int32 [K, N]
-        # asym codes also shift to signed int4 (Mosaic has int4→f32
-        # hardware converts but no uint4 casts); the zero-points shift by
-        # the same -8 below, so (c-8) - (z-8) == c - z everywhere.
-        return (codes - 8).astype(jnp.int4)
+            codes = planes[0].astype(jnp.int32)
+        else:
+            codes = unpack_codes(planes, cfg.bits, chunk)  # int32 [K, N]
+        return (codes - shift).astype(target)
 
-    plane = qt.planes[0]
     fn = unpack2d
-    for _ in range(plane.ndim - 2):                        # L / E stacks
+    for _ in range(qt.planes[0].ndim - 2):                 # L / E stacks
         fn = jax.vmap(fn)
     # Scales (and float zero-points) downcast to bf16 for the decode path:
     # the decode kernel runs at the HBM roofline, where f32 scales at
@@ -347,12 +351,10 @@ def to_native(qt: QTensor) -> QTensor:
     # to the jit that runs decode.)
     scales = qt.scales.astype(jnp.bfloat16)
     zeros = qt.zeros
-    if zeros is not None and cfg.bits == 4:
-        # match the code shift above (uint8 integer zp and float zp alike)
-        zeros = (zeros.astype(jnp.float32) - 8.0).astype(jnp.bfloat16)
-    elif zeros is not None and zeros.dtype != jnp.uint8:
-        zeros = zeros.astype(jnp.bfloat16)
-    return QTensor((fn(plane),), scales, zeros, qt.perm, cfg)
+    if zeros is not None:
+        # match the code shift (uint8 integer zp and float zp alike)
+        zeros = (zeros.astype(jnp.float32) - shift).astype(jnp.bfloat16)
+    return QTensor((fn(*qt.planes),), scales, zeros, qt.perm, cfg)
 
 
 def concat_n(qts: Sequence["QTensor"]) -> "QTensor":

@@ -337,7 +337,9 @@ def segments_from_tokens(ids: Sequence[int], ts_begin: int, offset_s: float,
 
 def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
                         prompt_ids: Sequence[int],
-                        max_new_tokens: int = 224):
+                        max_new_tokens: int = 224,
+                        ts_begin: Optional[int] = None,
+                        max_windows: Optional[int] = None):
     """Long-audio transcription: 30 s windows advanced by the last decoded
     timestamp, with per-segment (start, end) times — the TPU-side analog of
     the reference's whisper_full seek loop (models/whisper/whisper.cpp).
@@ -345,14 +347,21 @@ def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
     mel: [n_mels, T_frames] (any length). Returns a list of
     (start_s, end_s, token_ids) segments.
     """
-    ts_begin = timestamp_begin(cfg)
+    if ts_begin is None:
+        ts_begin = timestamp_begin(cfg)
+    if ts_begin < 1:
+        raise ValueError(
+            f"vocab_size {cfg.vocab_size} has no timestamp tokens; pass "
+            "ts_begin explicitly for non-whisper vocabs")
     no_ts = ts_begin - 1
     win = cfg.n_audio_ctx * 2                       # mel frames per window
     mel = np.asarray(mel)
     n_frames = mel.shape[-1]
     segments = []
     seek = 0
-    while seek < n_frames:
+    n_win = 0
+    while seek < n_frames and (max_windows is None or n_win < max_windows):
+        n_win += 1
         window = mel[:, seek:seek + win]
         if window.shape[-1] < win:
             window = np.pad(window,

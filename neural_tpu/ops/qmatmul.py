@@ -18,6 +18,7 @@ along K in planes of 4/2/1 bits (8/p values per byte); scales [K/g, N].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -736,6 +737,22 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         if lidx is not None and perm.ndim == 2:
             perm = jax.lax.dynamic_index_in_dim(perm, lidx, 0,
                                                 keepdims=False)
+        # strategy (override with NTPU_GATHER=lane|sub|onehot): XLA's TPU
+        # lane gather costs ~36 us on a [16, 4096] row feeding a kernel;
+        # expressing the permutation as a one-hot matmul halves that
+        # (~22 us — the iota-compare fuses into the dot operand). For
+        # prefill-sized M the dot's FLOPs dominate and take() wins.
+        strat = os.environ.get("NTPU_GATHER")
+        if strat is None:
+            strat = "onehot" if x2.shape[0] <= 64 else "lane"
+        if strat == "sub":
+            return jnp.take(x2.T, perm, axis=0).T
+        if strat == "onehot":
+            p = (perm[:, None] == jnp.arange(x2.shape[1])[None, :]
+                 ).astype(jnp.bfloat16)
+            return jnp.dot(x2.astype(jnp.bfloat16), p.T,
+                           preferred_element_type=jnp.float32
+                           ).astype(x2.dtype)
         return jnp.take(x2, perm, axis=1)
 
     backend = jax.default_backend()
@@ -744,9 +761,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
     a8 = _pick_a8(M, K, qt.N, qt.cfg) if a8_ok else None
     if a8 is not None:
         tm, tn, tk, gd = a8
-        x2g = gathered(x2)
         Mp = _round_up(M, tm)
-        xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+        xp = jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+        xp = gathered(xp)
         x_i8, sa = quantize_act_i8(xp, gd)
         out = _qmatmul_a8_pallas(x_i8, sa, qt, tm, tn, tk, gd,
                                  out_dtype=out_dtype, interpret=interpret,
@@ -762,9 +779,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
             if use_pallas else None
         if dec is not None:
             tm, tn = dec
-            x2g = gathered(x2)
             Mp = _round_up(max(M, tm), tm)
-            xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+            xp = jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+            xp = gathered(xp)
             out = _qmatmul4_pallas(xp.astype(jnp.bfloat16), qt, tm, tn,
                                    out_dtype=out_dtype, interpret=interpret,
                                    lidx=lidx)
@@ -775,9 +792,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
                  if use_pallas else None)
         if tiles is not None:
             tm = tiles[0]
-            x2g = gathered(x2)
             Mp = _round_up(max(M, tm), tm)
-            xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+            xp = jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+            xp = gathered(xp)
             out = _qmatmul_pallas(xp.astype(jnp.bfloat16), qt, *tiles,
                                   out_dtype=out_dtype, interpret=interpret,
                                   lidx=lidx)
@@ -795,9 +812,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
              if use_pallas else None)
     if tiles is not None:
         tm = tiles[0]
-        x2g = gathered(x2)
         Mp = _round_up(max(M, tm), tm)
-        xp = jnp.pad(x2g, ((0, Mp - M), (0, 0))) if Mp != M else x2g
+        xp = jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+        xp = gathered(xp)
         out = _qmatmul_pallas(xp.astype(jnp.bfloat16), qt, *tiles,
                               out_dtype=out_dtype, interpret=interpret,
                               lidx=lidx)

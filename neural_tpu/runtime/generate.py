@@ -58,9 +58,32 @@ def prepare_params(params, native: Optional[bool] = None,
         params["layers"] = tuple(
             jax.tree.map(lambda a: a[l], layers) for l in range(L))
     if native:
-        params = jax.tree.map(
-            lambda l: to_native(l) if isinstance(l, QTensor) else l,
-            params, is_leaf=lambda l: isinstance(l, QTensor))
+        def conv(tree):
+            return jax.tree.map(
+                lambda l: to_native(l) if isinstance(l, QTensor) else l,
+                tree, is_leaf=lambda l: isinstance(l, QTensor))
+
+        params = dict(params)
+        if isinstance(params["layers"], (list, tuple)):
+            # SEQUENCE the per-layer conversions: unpack goes through
+            # [K, N] int32 temps, and XLA otherwise schedules many layers'
+            # conversions concurrently — measured HBM OOM on a 7B q3/q5
+            # (32 x ~88-185 MB of live temps). The barrier ties each
+            # layer's conversion after the previous layer's result.
+            out, prev = [], None
+            for lp in params["layers"]:
+                if prev is not None:
+                    lp, _ = jax.lax.optimization_barrier((lp, prev))
+                lp_n = conv(lp)
+                prev = jax.tree.leaves(lp_n)[0]
+                out.append(lp_n)
+            params["layers"] = tuple(out)
+            rest = {k: v for k, v in params.items() if k != "layers"}
+            if prev is not None:
+                rest, _ = jax.lax.optimization_barrier((rest, prev))
+            params.update(conv(rest))
+        else:
+            params = conv(params)
     return params
 
 

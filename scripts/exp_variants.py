@@ -22,6 +22,7 @@ VARIANTS = {
     "q4_g128_sym": QuantConfig(bits=4, group_size=128, sym=True),
     "q4_g128_asym": QuantConfig(bits=4, group_size=128, sym=False),
     "q4_g128_asym_perm": QuantConfig(bits=4, group_size=128, sym=False),
+    "q4_g128_sym_perm": QuantConfig(bits=4, group_size=128, sym=True),
     "q3_g32": QuantConfig(bits=3, group_size=32, sym=True),
     "q5_g32": QuantConfig(bits=5, group_size=32, sym=True),
     "q8_g32": QuantConfig(bits=8, group_size=32, sym=True),

@@ -126,3 +126,40 @@ def test_full_model_import():
     out = greedy_generate(params, cfg, [3, 5], max_new_tokens=4,
                           stop_at_eos=False)
     assert len(out) == 6
+
+
+def test_fold_act_order_exact():
+    """Folding w_down's act-order perm into gate/up output columns is an
+    exact rewrite of the MLP function."""
+    import jax
+    from neural_tpu.convert.gptq import fold_act_order
+    from neural_tpu.core import QuantConfig, quantize, matmul_ref
+    from neural_tpu.core.qtensor import QTensor
+    from neural_tpu.models.config import ModelConfig
+
+    rng = np.random.default_rng(0)
+    D, I = 64, 128
+    cfgq = QuantConfig(bits=4, group_size=32, sym=False)
+    wg = rng.standard_normal((D, I)).astype(np.float32) * .1
+    wu = rng.standard_normal((D, I)).astype(np.float32) * .1
+    wd = rng.standard_normal((I, D)).astype(np.float32) * .1
+    perm = rng.permutation(I).astype(np.int32)
+
+    q = lambda w: quantize(jnp.asarray(w), cfgq)
+    qd_store = q(wd[perm])          # GPTQ stores rows in act order
+    qd = QTensor(qd_store.planes, qd_store.scales, qd_store.zeros,
+                 jnp.asarray(perm), qd_store.cfg)
+    per_layer = {"w_gate": [q(wg)], "w_up": [q(wu)], "w_down": [qd]}
+
+    x = jnp.asarray(rng.standard_normal((4, D)).astype(np.float32))
+
+    def mlp(pl):
+        h = jax.nn.silu(matmul_ref(x, pl["w_gate"][0])) \
+            * matmul_ref(x, pl["w_up"][0])
+        return np.asarray(matmul_ref(h, pl["w_down"][0]))
+
+    ref = mlp(per_layer)
+    cfg = ModelConfig(arch="llama")
+    fold_act_order(per_layer, cfg)
+    assert per_layer["w_down"][0].perm is None
+    np.testing.assert_allclose(mlp(per_layer), ref, rtol=1e-5, atol=1e-5)

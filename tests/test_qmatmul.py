@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from neural_tpu.core import PRESETS, QuantConfig, quantize, matmul_ref
+from neural_tpu.core.qtensor import dequantize
 from neural_tpu.ops import qmatmul
 
 
@@ -101,7 +102,7 @@ def test_native_int4_pallas_matches_oracle(sym):
     x = mk(1, (4, 256), 1.0)
     qt = quantize(w, cfg)
     qtn = to_native(qt)
-    assert qtn.planes[0].dtype in (jnp.int4, jnp.uint4)
+    assert qtn.planes[0].dtype == jnp.int4
     ref = np.asarray(matmul_ref(x, qt, jnp.float32))
     out = np.asarray(qmatmul(x, qtn, out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
@@ -321,3 +322,25 @@ def test_quantize_act_i8_roundtrip():
     xr = np.asarray(q, np.float32).reshape(8, 2, 128) * np.asarray(sa)[:, :, None]
     np.testing.assert_allclose(xr.reshape(8, 256), np.asarray(x),
                                atol=float(np.abs(x).max()) / 127 * 0.51)
+
+
+@pytest.mark.parametrize("bits,sym", [(2, True), (3, True), (3, False),
+                                      (5, True), (6, False), (7, True),
+                                      (8, False)])
+def test_native_oddbit_remap(bits, sym):
+    """Odd widths remap losslessly into int4/int8 hardware-convert codes
+    (decode streams at native rate instead of VPU bit-plane unpack)."""
+    from neural_tpu.core import to_native
+    cfg = QuantConfig(bits=bits, sym=sym, group_size=32)
+    w = mk(0, (256, 128))
+    x = mk(1, (4, 256), 1.0)
+    qt = quantize(w, cfg)
+    qtn = to_native(qt)
+    assert qtn.planes[0].dtype == (jnp.int4 if bits <= 4 else jnp.int8)
+    # exact code remap: only the documented bf16 scale downcast may differ
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qt)), np.asarray(dequantize(qtn)),
+        rtol=5e-3, atol=5e-4)
+    ref = np.asarray(matmul_ref(x, qt, jnp.float32))
+    out = np.asarray(qmatmul(x, qtn, out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)

@@ -118,8 +118,11 @@ def test_long_form_transcribe_advances(setup):
     m, params, cfg, _ = setup
     rng = np.random.default_rng(1)
     mel = rng.standard_normal((80, 4500)).astype(np.float32) * 0.5
-    segs = transcribe_segments(params, cfg, mel, [4], max_new_tokens=8)
+    # tiny test vocab (200) has no real whisper timestamp range → inject
+    # a synthetic one (ids >= 150 are timestamps)
+    segs = transcribe_segments(params, cfg, mel, [4], max_new_tokens=8,
+                               ts_begin=150, max_windows=3)
     assert len(segs) >= 1
     for t0, t1, ids in segs:
         assert 0.0 <= t0 <= t1 <= 45.0 + 30.0
-        assert all(i < timestamp_begin(cfg) for i in ids)
+        assert all(i < 150 for i in ids)
