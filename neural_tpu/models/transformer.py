@@ -188,6 +188,33 @@ def _moe_grouped(x, ex: Params, top_w, top_idx, cfg: ModelConfig,
     return _psum(out, tp_axis).reshape(B, T, D).astype(x.dtype)
 
 
+def masked_scores(qh, kb, q_pos, kv_pos, cfg: ModelConfig, slopes=None,
+                  sliding=None):
+    """Masked attention scores for one KV block, shared by the cache-free
+    oracle below and ring attention (parallel/sp.py — MUST stay a single
+    implementation so the ring matches its oracle exactly).
+
+    qh: [B, Hkv, G, Tq, Dh] f32 PRE-SCALED queries; kb: [B, Hkv, Ts, Dh];
+    q_pos [B, Tq, 1] / kv_pos [B, 1, Ts] global positions. Returns
+    (scores [B, Hkv, G, Tq, Ts] with -1e30 at masked slots, mask)."""
+    Hkv, G = qh.shape[1], qh.shape[2]
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qh, kb.astype(jnp.float32))
+    if cfg.attn_softcap:
+        s = cfg.attn_softcap * jnp.tanh(s / cfg.attn_softcap)
+    mask = kv_pos <= q_pos
+    if cfg.sliding_window and sliding is not None:
+        mask = mask & ((kv_pos > q_pos - cfg.sliding_window)
+                       | jnp.logical_not(sliding))
+    elif cfg.sliding_window:
+        mask = mask & (kv_pos > q_pos - cfg.sliding_window)
+    if cfg.use_alibi and slopes is not None:
+        dist = (kv_pos - q_pos).astype(jnp.float32)
+        s = s + (slopes.reshape(Hkv, G)[None, :, :, None, None]
+                 * dist[:, None, None, :, :])
+    s = jnp.where(mask[:, None, None, :, :], s, jnp.float32(-1e30))
+    return s, mask
+
+
 def _attend_nocache(q, kt, vt, positions, cfg: ModelConfig, slopes=None,
                     sliding=None):
     """Cache-free causal attention over the current block (training path).
@@ -200,24 +227,10 @@ def _attend_nocache(q, kt, vt, positions, cfg: ModelConfig, slopes=None,
     Hkv = kt.shape[1]
     G = Hq // Hkv
     scale = cfg.attn_scale if cfg.attn_scale is not None else Dh ** -0.5
-    qh = q.reshape(B, T, Hkv, G, Dh).transpose(0, 2, 3, 1, 4)
-    s = jnp.einsum("bhgtd,bhsd->bhgts", qh.astype(jnp.float32) * scale,
-                   kt.astype(jnp.float32))
-    if cfg.attn_softcap:
-        s = cfg.attn_softcap * jnp.tanh(s / cfg.attn_softcap)
-    kv_pos = positions[:, None, :]                             # [B, 1, Tk]
-    q_pos = positions[:, :, None]                              # [B, Tq, 1]
-    mask = kv_pos <= q_pos
-    if cfg.sliding_window and sliding is not None:
-        mask = mask & ((kv_pos > q_pos - cfg.sliding_window)
-                       | jnp.logical_not(sliding))
-    elif cfg.sliding_window:
-        mask = mask & (kv_pos > q_pos - cfg.sliding_window)
-    if cfg.use_alibi and slopes is not None:
-        dist = (kv_pos - q_pos).astype(jnp.float32)
-        s = s + (slopes.reshape(Hkv, G)[None, :, :, None, None]
-                 * dist[:, None, None, :, :])
-    s = jnp.where(mask[:, None, None, :, :], s, jnp.float32(-1e30))
+    qh = (q.reshape(B, T, Hkv, G, Dh).transpose(0, 2, 3, 1, 4)
+          .astype(jnp.float32) * scale)
+    s, _ = masked_scores(qh, kt, positions[:, :, None], positions[:, None, :],
+                         cfg, slopes, sliding)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgts,bhsd->bhgtd", p, vt.astype(jnp.float32))
     return o.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq * Dh)

@@ -220,13 +220,14 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
     # costs dominate at low fill with single-head steps). k+v working-set
     # targets from the v5e sweep (scripts/exp_attn_blk.py): ~1 MB/step at
     # blk 128 (hb=16 for Dh=128), ~2 MB at blk >= 256 (hb=8 at blk 512).
-    if hb is None:
-        cap = (1 << 20) if blk_s <= 128 else (2 << 20)
-        hb = next((h for h in (32, 16, 8, 4, 2, 1) if Hkv % h == 0
-                   and h * blk_s * Dh * 2 * 2 <= cap), 1)
-    elif hb > Hkv or Hkv % hb:
-        hb = next(h for h in (32, 16, 8, 4, 2, 1) if Hkv % h == 0
-                  and h <= Hkv)
+    # head batch per grid step, from the v5e sweeps
+    # (scripts/exp_attn_blk.py, bf16 and NTPU_EXP_INT8=1): hb=16 wins
+    # everywhere except bf16 blk>=512, where the 4 MB k+v working set
+    # stops double-buffering cleanly and hb=8 is faster.
+    if hb is None or hb > Hkv or Hkv % hb:
+        want = 8 if (not kv_int8 and blk_s >= 512) else 16
+        hb = next((h for h in (want, 16, 8, 4, 2, 1) if h <= want
+                   and Hkv % h == 0), 1)
 
     def cmap(f):
         # cache block index map; stacked mode prepends the layer index,
@@ -315,6 +316,10 @@ def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
                   or (force is None and backend == "tpu"))
     layer_sliding_ok = sliding is None  # per-layer traced flag → XLA path
     blk_s = cfg.decode_blk_s or 512
+    if k_scale is not None:
+        # int8 KV: half the bytes per block → 256-token blocks beat 512 at
+        # every fill (0.997 vs 1.305 ms at fill 1984 on a 7B, v5e sweep)
+        blk_s = min(blk_s, 256)
     if (use_pallas and T == 1 and layer_sliding_ok and not cfg.use_alibi
             and Dh % 128 == 0 and S % 512 == 0 and S % blk_s == 0
             and force != "xla"):

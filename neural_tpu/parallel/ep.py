@@ -109,20 +109,36 @@ def ep_moe(x, lp: Dict[str, Any], cfg: ModelConfig, ep_axis: str,
         tiled=True)                                            # [E_loc, ep*C, D]
 
     ex = lp["experts"]
+    from ..core.qtensor import QTensor
+    if any(isinstance(v, QTensor) for v in ex.values()):
+        raise NotImplementedError(
+            "expert parallelism requires dense (unquantized) expert "
+            "weights for the batched [E_loc, ...] einsums; dequantize the "
+            "experts or run the MoE without ep_axis (dense mixture path)")
 
-    def edot(h, wkey):
+    def edot(h, wkey, bias=True):
         we = ex[wkey]                                          # [E_loc, K, N]
-        return jnp.einsum("ecd,edn->ecn", h.astype(jnp.bfloat16),
-                          we.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        y = jnp.einsum("ecd,edn->ecn", h.astype(jnp.bfloat16),
+                       we.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        b = ex.get("b" + wkey[1:])                             # b_gate/b_up/…
+        if bias and b is not None:
+            y = y + b.astype(jnp.float32)[:, None, :]
+        return y
 
     if cfg.mlp_gated:
         h = _act(edot(recv, "w_gate"), cfg.act) * edot(recv, "w_up")
     else:
         h = _act(edot(recv, "w_up"), cfg.act)
-    out_e = edot(h.astype(jnp.bfloat16), "w_down")             # [E_loc, ep*C, D]
+    # down bias joins AFTER the tp partial-sum reduction (replicated over
+    # tp; adding pre-psum would count it tp times)
+    out_e = edot(h.astype(jnp.bfloat16), "w_down",
+                 bias=tp_axis is None)                         # [E_loc, ep*C, D]
     if tp_axis is not None:
         out_e = jax.lax.psum(out_e, tp_axis)
+        bd = ex.get("b_down")
+        if bd is not None:
+            out_e = out_e + bd.astype(jnp.float32)[:, None, :]
 
     # combine: route results back to the token owners (split the source-
     # rank-major ep*C dim, concat by owner rank → global expert order)

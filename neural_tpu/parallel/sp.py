@@ -52,21 +52,9 @@ def ring_attend(q, kt, vt, positions, cfg: ModelConfig, axis: str,
 
     def hop(carry, _):
         kb, vb, pb, m, l, acc = carry
-        s = jnp.einsum("bhgtd,bhsd->bhgts", qh, kb.astype(jnp.float32))
-        if cfg.attn_softcap:
-            s = cfg.attn_softcap * jnp.tanh(s / cfg.attn_softcap)
-        kv_pos = pb[:, None, :]                            # [B, 1, Ts]
-        mask = kv_pos <= q_pos
-        if cfg.sliding_window and sliding is not None:
-            mask = mask & ((kv_pos > q_pos - cfg.sliding_window)
-                           | jnp.logical_not(sliding))
-        elif cfg.sliding_window:
-            mask = mask & (kv_pos > q_pos - cfg.sliding_window)
-        if cfg.use_alibi and slopes is not None:
-            dist = (kv_pos - q_pos).astype(jnp.float32)
-            s = s + (slopes.reshape(Hkv, G)[None, :, :, None, None]
-                     * dist[:, None, None, :, :])
-        s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+        from ..models.transformer import masked_scores
+        s, mask = masked_scores(qh, kb, q_pos, pb[:, None, :], cfg,
+                                slopes, sliding)
 
         m_new = jnp.maximum(m, s.max(axis=-1))
         p = jnp.exp(s - m_new[..., None])

@@ -51,32 +51,48 @@ def prepare_params(params, native: Optional[bool] = None,
     # goes through an int32 intermediate, and on a whole [L, K, N] stack
     # that transient is L× the per-layer one (11.5 GB for a fused 7B
     # gate|up stack — HBM OOM). Per-layer conversion peaks at ~360 MB.
+    def conv(tree):
+        return jax.tree.map(
+            lambda l: to_native(l) if isinstance(l, QTensor) else l,
+            tree, is_leaf=lambda l: isinstance(l, QTensor))
+
     if unroll and not isinstance(params["layers"], (list, tuple)):
         layers = params["layers"]
         L = jax.tree.leaves(layers)[0].shape[0]
         params = dict(params)
-        params["layers"] = tuple(
-            jax.tree.map(lambda a: a[l], layers) for l in range(L))
+        # SEQUENCE slice+convert per layer (optimization_barrier): both the
+        # sliced packed copies and the unpack's [K, N] int32 temps
+        # otherwise go live for many layers at once under XLA's scheduler —
+        # measured HBM OOM on 7B q3/q5/mistral shapes. One layer's
+        # conversion must finish before the next layer's slice starts.
+        out, prev = [], None
+        for l in range(L):
+            lsrc = layers
+            if prev is not None:
+                lsrc, _ = jax.lax.optimization_barrier((lsrc, prev))
+            lp = jax.tree.map(lambda a: a[l], lsrc)
+            if native:
+                lp = conv(lp)
+            prev = jax.tree.leaves(lp)[0]
+            out.append(lp)
+        params["layers"] = tuple(out)
+        if native:
+            rest = {k: v for k, v in params.items() if k != "layers"}
+            if prev is not None:
+                rest, _ = jax.lax.optimization_barrier((rest, prev))
+            params.update(conv(rest))
+        return params
     if native:
-        def conv(tree):
-            return jax.tree.map(
-                lambda l: to_native(l) if isinstance(l, QTensor) else l,
-                tree, is_leaf=lambda l: isinstance(l, QTensor))
-
         params = dict(params)
         if isinstance(params["layers"], (list, tuple)):
-            # SEQUENCE the per-layer conversions: unpack goes through
-            # [K, N] int32 temps, and XLA otherwise schedules many layers'
-            # conversions concurrently — measured HBM OOM on a 7B q3/q5
-            # (32 x ~88-185 MB of live temps). The barrier ties each
-            # layer's conversion after the previous layer's result.
+            # already unrolled: still sequence the conversions (same OOM)
             out, prev = [], None
             for lp in params["layers"]:
                 if prev is not None:
                     lp, _ = jax.lax.optimization_barrier((lp, prev))
-                lp_n = conv(lp)
-                prev = jax.tree.leaves(lp_n)[0]
-                out.append(lp_n)
+                lp = conv(lp)
+                prev = jax.tree.leaves(lp)[0]
+                out.append(lp)
             params["layers"] = tuple(out)
             rest = {k: v for k, v in params.items() if k != "layers"}
             if prev is not None:
@@ -196,9 +212,13 @@ def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     pos = T
     for i in range(max_new_tokens):
         key, sub = jax.random.split(key)
-        hist = np.asarray(out[-sampling.repeat_last_n:], np.int32)[None, :]
-        tok, state = sample(logits[:, -1], sub, sampling, state,
-                            prev_tokens=jnp.asarray(hist))
+        if sampling.repeat_last_n <= 0:  # 0 disables penalties (llama.cpp)
+            tok, state = sample(logits[:, -1], sub, sampling, state)
+        else:
+            hist = np.asarray(out[-sampling.repeat_last_n:],
+                              np.int32)[None, :]
+            tok, state = sample(logits[:, -1], sub, sampling, state,
+                                prev_tokens=jnp.asarray(hist))
         next_id = int(tok[0])
         out.append(next_id)
         if stop_at_eos and next_id == cfg.eos_token_id:
@@ -249,13 +269,16 @@ def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
     return toks, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "sampling"),
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "sampling",
+                                   "fill_hint"),
          donate_argnums=(3,))
 def sample_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
-                sampling: SamplingParams, key, history):
+                sampling: SamplingParams, key, history,
+                fill_hint: Optional[int] = None):
     """On-device sampled decode: like decode_loop but with the full sampling
     pipeline per step. ``history`` [B, repeat_last_n] carries the recent
     tokens for penalties (a ring updated on-device)."""
+    cfg = pick_decode_blk(cfg, fill_hint)
     B = token.shape[0]
     state = SamplerState.init(B, sampling)
     params = prepare_params(params)

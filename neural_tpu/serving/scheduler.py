@@ -215,9 +215,12 @@ class Scheduler:
     def _sample_one(self, logits_row, seq: Sequence):
         sp = seq.sampling or self.sampling
         self.key, sub = jax.random.split(self.key)
-        hist = (seq.prompt_ids + seq.output_ids)[-sp.repeat_last_n:]
-        tok, _ = sample(logits_row[None], sub, sp,
-                        prev_tokens=jnp.asarray([hist], jnp.int32))
+        if sp.repeat_last_n <= 0:  # 0 disables penalties (llama.cpp conv.)
+            tok, _ = sample(logits_row[None], sub, sp)
+        else:
+            hist = (seq.prompt_ids + seq.output_ids)[-sp.repeat_last_n:]
+            tok, _ = sample(logits_row[None], sub, sp,
+                            prev_tokens=jnp.asarray([hist], jnp.int32))
         return int(tok[0])
 
     def _sample_many(self, logits: np.ndarray, seqs: List[Sequence]):
@@ -231,7 +234,13 @@ class Scheduler:
             groups.setdefault(seq.sampling or self.sampling, []).append(i)
         for sp, idxs in groups.items():
             self.key, sub = jax.random.split(self.key)
-            rl = max(sp.repeat_last_n, 1)
+            rl = sp.repeat_last_n
+            if rl <= 0:  # 0 disables penalties (llama.cpp convention)
+                t, _ = sample(jnp.asarray(logits[idxs]), sub, sp)
+                t = np.asarray(t)
+                for j, i in enumerate(idxs):
+                    toks[i] = int(t[j])
+                continue
             hist = np.zeros((len(idxs), rl), np.int32)
             valid = np.zeros((len(idxs), rl), bool)
             for j, i in enumerate(idxs):

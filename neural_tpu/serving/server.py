@@ -84,10 +84,12 @@ class ModelServer:
         self._cb_arity = 1
         if response_callback is not None:
             import inspect
-            try:
-                self._cb_arity = len(inspect.signature(
-                    response_callback).parameters)
-            except (TypeError, ValueError):
+            try:  # 2-arg reference form iff (finished, working) can bind
+                inspect.signature(response_callback).bind([], 0)
+                self._cb_arity = 2
+            except TypeError:
+                self._cb_arity = 1
+            except ValueError:
                 self._cb_arity = 1
         self.poll_interval = poll_interval
         self._lock = threading.Lock()
