@@ -88,11 +88,12 @@ def fetch(x):
     return float(jnp.asarray(x).astype(jnp.float32).reshape(-1)[0])
 
 
-def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36):
+def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36,
+                 kv_dtype=jnp.bfloat16):
     token = jnp.asarray([[17]], jnp.int32)
 
     def run(n):
-        cache = init_cache(cfg, 1, S)
+        cache = init_cache(cfg, 1, S, kv_dtype)
         pos = jnp.asarray([prompt_len], jnp.int32)
         toks, cache = decode_loop(params, token, pos, cache, cfg, n,
                                   fill_hint=prompt_len + hi)
@@ -150,6 +151,10 @@ def main():
     # 1975-token prompt (docs/fused_attention.md:111 measures the 4th
     # generated token of that prompt)
     _, ms_longfill = bench_decode(params, cfg, prompt_len=1975)
+    # int8 KV (the reference's packed-KV default): wins at long fill and
+    # halves KV memory
+    _, ms_longfill_i8 = bench_decode(params, cfg, prompt_len=1975,
+                                     kv_dtype="int8")
     ttft_ms = bench_prefill(params, cfg)
     print(f"# decode {ms_per_tok:.2f} ms/tok (fill 128), "
           f"{ms_longfill:.2f} (fill 1975), prefill(1975) {ttft_ms:.0f} ms",
@@ -164,6 +169,7 @@ def main():
             "next_token_ms": round(ms_per_tok, 2),
             "next_token_ms_fill1975": round(ms_longfill, 2),
             "decode_tps_fill1975": round(1000.0 / ms_longfill, 2),
+            "next_token_ms_fill1975_int8kv": round(ms_longfill_i8, 2),
             "ttft_1975_ms": round(ttft_ms, 1),
             "ttft_vs_baseline": round(BASELINE_TTFT_MS / max(ttft_ms, 1e-9), 2),
             "baseline_next_token_ms": 41.27,

@@ -52,9 +52,18 @@ def prepare_params(params, native: Optional[bool] = None,
     # that transient is L× the per-layer one (11.5 GB for a fused 7B
     # gate|up stack — HBM OOM). Per-layer conversion peaks at ~360 MB.
     def conv(tree):
-        return jax.tree.map(
-            lambda l: to_native(l) if isinstance(l, QTensor) else l,
-            tree, is_leaf=lambda l: isinstance(l, QTensor))
+        def one(l):
+            if not isinstance(l, QTensor):
+                return l
+            # skip tensors whose unpack would spike a huge int32 temp
+            # (e.g. a 152k-vocab lm_head: [4096, 151936] i32 = 2.5 GB —
+            # OOMs a 16 GB chip next to a 7B model); the packed Pallas
+            # kernel handles them at streaming rate once per step.
+            if l.K * l.N * 4 > (1 << 30):
+                return l
+            return to_native(l)
+        return jax.tree.map(one, tree,
+                            is_leaf=lambda l: isinstance(l, QTensor))
 
     if unroll and not isinstance(params["layers"], (list, tuple)):
         layers = params["layers"]

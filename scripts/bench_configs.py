@@ -182,6 +182,14 @@ def main():
         globals()["LLAMA2_7B"] = bench.LLAMA2_7B
     fns = {"mistral-gptq": cfg2_mistral_gptq, "server": cfg3_server,
            "qwen-oddbit": cfg4_qwen_oddbit}
+    if len(args.configs) > 1 and not os.environ.get("NTPU_SUBPROC"):
+        # one fresh process per config: a prior 7B model's HBM
+        # fragmentation OOMs the next one on the 16 GB chip
+        import subprocess
+        for name in args.configs:
+            subprocess.run([sys.executable, os.path.abspath(__file__), name],
+                           env={**os.environ, "NTPU_SUBPROC": "1"})
+        return
     for name in args.configs:
         t0 = time.time()
         res = fns[name]()
