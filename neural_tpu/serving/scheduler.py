@@ -18,7 +18,7 @@ import time
 from collections import deque
 from enum import Enum
 from functools import partial
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,31 @@ class Sequence:
     receive_time: float = dataclasses.field(default_factory=time.time)
     first_token_time: Optional[float] = None
     end_time: Optional[float] = None
+    # beam-search requests (reference scheduler.cpp:99-148 runs beam steps
+    # inside the continuous-batching worker; beam state model_utils.h:297)
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    min_new_tokens: int = 0
+    beam: Optional["BeamGroup"] = None
+    hypotheses: List[Tuple[List[int], float]] = \
+        dataclasses.field(default_factory=list)  # (new_token_ids, score)
+
+
+@dataclasses.dataclass
+class BeamGroup:
+    """Host-side beam bookkeeping for one in-scheduler beam request.
+
+    The W beams live in W *contiguous* cache slots [base, base+W); the
+    per-step KV reorder is then one sliced gather over those rows only
+    (reference beam_search_kv_cache_reorder, model_utils.h:423, rewrites
+    the beams' KV blocks the same way)."""
+    width: int
+    base: int                         # first slot of the contiguous block
+    beams: List[List[int]]            # full token ids per live beam row
+    scores: np.ndarray                # cumulative log-probs [W]
+    alive: np.ndarray                 # bool [W]
+    done: List[Tuple[List[int], float]]  # finished (ids, penalized score)
+    step: int = 0                     # generated tokens so far
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -93,6 +118,33 @@ def _prefill_slot_paged(params, tokens, cache: PagedKVCache, slot,
                           cfg)
     return logits, PagedKVCache(sub.k, sub.v, sub.k_scale, sub.v_scale,
                                 cache.table)
+
+
+@partial(jax.jit, static_argnames=("W",), donate_argnums=(0,))
+def _bcast_rows(cache: KVCache, base, W: int):
+    """Replicate slot ``base``'s KV into slots [base, base+W): a beam
+    request's W rows all start from the shared prompt KV."""
+    def f(c):
+        if c is None:
+            return None
+        row = jax.lax.dynamic_slice_in_dim(c, base, 1, axis=1)
+        rows = jnp.broadcast_to(row, row.shape[:1] + (W,) + row.shape[2:])
+        return jax.lax.dynamic_update_slice_in_dim(c, rows, base, axis=1)
+    return KVCache(*(f(c) for c in cache))
+
+
+@partial(jax.jit, static_argnames=("W",), donate_argnums=(0,))
+def _reorder_rows(cache: KVCache, base, parents, W: int):
+    """Beam KV reorder restricted to the group's contiguous rows
+    (reference beam_search_kv_cache_reorder). Skipped host-side when
+    parents is the identity (the common steady state)."""
+    def f(c):
+        if c is None:
+            return None
+        rows = jax.lax.dynamic_slice_in_dim(c, base, W, axis=1)
+        rows = jnp.take(rows, parents, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(c, rows, base, axis=1)
+    return KVCache(*(f(c) for c in cache))
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -161,13 +213,25 @@ class Scheduler:
     # -- client API ---------------------------------------------------------
     def add_request(self, request_id: str, prompt_ids: Sequence[int],
                     max_new_tokens: int = 128,
-                    sampling: Optional[SamplingParams] = None):
+                    sampling: Optional[SamplingParams] = None,
+                    num_beams: int = 1, length_penalty: float = 1.0,
+                    min_new_tokens: int = 0):
         """``sampling`` overrides the scheduler default for this request
-        (reference: per-query generation config in Query)."""
+        (reference: per-query generation config in Query). ``num_beams > 1``
+        runs beam search *inside* the batched scheduler step (reference
+        scheduler.cpp:99-148): the request takes num_beams cache slots and
+        its result is the best length-penalized hypothesis."""
         assert len(prompt_ids) + max_new_tokens <= self.max_len, \
             "request exceeds max_len"
+        if num_beams > 1:
+            assert self.kv_mode == "slots", \
+                "beam requests require kv_mode='slots'"
+            assert num_beams <= self.max_batch, "num_beams exceeds slot pool"
         self.waiting.append(Sequence(request_id, list(prompt_ids),
-                                     max_new_tokens, sampling))
+                                     max_new_tokens, sampling,
+                                     num_beams=num_beams,
+                                     length_penalty=length_penalty,
+                                     min_new_tokens=min_new_tokens))
 
     def pop_finished(self) -> List[Sequence]:
         out, self.finished = self.finished, []
@@ -178,9 +242,21 @@ class Scheduler:
         return bool(self.waiting or self.running)
 
     # -- one scheduling iteration (reference scheduler.cpp:369 step) --------
+    def _find_contiguous(self, W: int) -> Optional[int]:
+        """Base of a run of W contiguous free slots, or None."""
+        free = sorted(self.free_slots)
+        run = 1
+        for i in range(1, len(free)):
+            run = run + 1 if free[i] == free[i - 1] + 1 else 1
+            if run == W:
+                return free[i] - W + 1
+        return free[0] if W == 1 and free else None
+
     def _can_admit(self, seq: Sequence) -> bool:
         if not self.free_slots:
             return False
+        if seq.num_beams > 1:
+            return self._find_contiguous(seq.num_beams) is not None
         if self.kv_mode != "paged":
             return True
         T = len(seq.prompt_ids)
@@ -255,7 +331,125 @@ class Scheduler:
                 toks[i] = int(t[j])
         return toks
 
+    # -- in-scheduler beam search (reference scheduler.cpp:99-148) ----------
+    @staticmethod
+    def _lp(n_new: int, penalty: float) -> float:
+        # length-penalty divisor (reference logits_processor model_utils.h:404)
+        return max(n_new, 1) ** penalty
+
+    def _prefill_beam(self, seq: Sequence):
+        W = seq.num_beams
+        base = self._find_contiguous(W)
+        for s in range(base, base + W):
+            self.free_slots.remove(s)
+        T = len(seq.prompt_ids)
+        Tb = _bucket(T, self.buckets)
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :T] = seq.prompt_ids
+        logits, self.cache = _prefill_slot(
+            self.params, jnp.asarray(toks), self.cache, jnp.int32(base),
+            self.cfg, Tb)
+        # all W beams share the prompt KV
+        self.cache = _bcast_rows(self.cache, jnp.int32(base), W)
+        row = np.asarray(logits[0, T - 1], np.float32)
+        logp0 = row - row.max()
+        logp0 -= np.log(np.exp(logp0).sum())
+        if seq.min_new_tokens > 0:
+            logp0[self.cfg.eos_token_id] = -1e30
+        top = np.argsort(-logp0)[:W]
+        beams = [seq.prompt_ids + [int(t)] for t in top]
+        scores = logp0[top].astype(np.float64)
+        alive = np.ones(W, bool)
+        done: List[Tuple[List[int], float]] = []
+        for w in range(W):
+            if beams[w][-1] == self.cfg.eos_token_id and seq.min_new_tokens <= 1:
+                done.append((beams[w], scores[w] / self._lp(
+                    1, seq.length_penalty)))
+                alive[w] = False
+                scores[w] = -1e30
+        seq.beam = BeamGroup(W, base, beams, scores, alive, done, step=1)
+        for w in range(W):
+            self.lengths[base + w] = T
+            self._next_tokens[base + w] = beams[w][-1]
+            self.running[base + w] = seq
+        seq.first_token_time = time.time()
+        seq.status = SeqStatus.DECODING
+        seq.slot = base
+        if seq.max_new_tokens <= 1 or not alive.any():
+            self._finish_beam(seq)
+
+    def _beam_advance(self, seq: Sequence, logits: np.ndarray):
+        """One joint top-k expansion + KV reorder for a beam group, from the
+        batched decode step's logits (host-side analog of
+        runtime/beam.py::_beam_step)."""
+        g = seq.beam
+        W, base = g.width, g.base
+        rows = logits[base:base + W].astype(np.float64)
+        rows -= rows.max(axis=-1, keepdims=True)
+        rows -= np.log(np.exp(rows).sum(axis=-1, keepdims=True))
+        if g.step + 1 <= seq.min_new_tokens:
+            rows[:, self.cfg.eos_token_id] = -1e30
+        rows[~g.alive] = -1e30          # dead beams must not spawn
+        total = (g.scores[:, None] + rows).ravel()
+        V = rows.shape[-1]
+        top = np.argpartition(-total, W - 1)[:W]
+        top = top[np.argsort(-total[top])]
+        parents = (top // V).astype(np.int32)
+        toks = (top % V).astype(np.int32)
+        new_scores = total[top]
+
+        if not np.array_equal(parents, np.arange(W)):
+            self.cache = _reorder_rows(self.cache, jnp.int32(base),
+                                       jnp.asarray(parents), W)
+        g.step += 1
+        new_beams, new_alive = [], np.ones(W, bool)
+        for w in range(W):
+            ids = g.beams[parents[w]] + [int(toks[w])]
+            new_beams.append(ids)
+            if int(toks[w]) == self.cfg.eos_token_id:
+                g.done.append((ids, new_scores[w] / self._lp(
+                    g.step, seq.length_penalty)))
+                new_alive[w] = False
+                new_scores[w] = -1e30
+            self.lengths[base + w] += 1
+            self._next_tokens[base + w] = int(toks[w])
+        g.beams, g.scores, g.alive = new_beams, new_scores, new_alive
+
+        finish = (not g.alive.any() or g.step >= seq.max_new_tokens
+                  or self.lengths[base] + 1 >= self.max_len)
+        if not finish and len(g.done) >= W:
+            # HF early stop: best possible remaining score can't beat the
+            # worst kept hypothesis (runtime/beam.py:129)
+            best_alive = g.scores[g.alive].max() if g.alive.any() else -np.inf
+            worst_done = sorted(g.done, key=lambda h: -h[1])[W - 1][1]
+            if best_alive / self._lp(seq.max_new_tokens,
+                                     seq.length_penalty) < worst_done:
+                finish = True
+        if finish:
+            self._finish_beam(seq)
+
+    def _finish_beam(self, seq: Sequence):
+        g = seq.beam
+        T = len(seq.prompt_ids)
+        done = list(g.done)
+        for w in range(g.width):
+            if g.alive[w]:
+                done.append((g.beams[w], g.scores[w] / self._lp(
+                    len(g.beams[w]) - T, seq.length_penalty)))
+        done.sort(key=lambda h: -h[1])
+        seq.hypotheses = [(ids[T:], float(s)) for ids, s in done[:g.width]]
+        seq.output_ids = list(seq.hypotheses[0][0])
+        seq.status = SeqStatus.FINISHED
+        seq.end_time = time.time()
+        self.finished.append(seq)
+        for s in range(g.base, g.base + g.width):
+            self.running.pop(s, None)
+            self.free_slots.append(s)
+            self.lengths[s] = 0
+
     def _prefill(self, seq: Sequence):
+        if seq.num_beams > 1:
+            return self._prefill_beam(seq)
         slot = self.free_slots.pop()
         T = len(seq.prompt_ids)
         Tb = _bucket(T, self.buckets)
@@ -312,15 +506,20 @@ class Scheduler:
         logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
                                          cfg)
         logits = np.asarray(logits, np.float32)
-        items = list(self.running.items())
-        toks = self._sample_many(logits[[s for s, _ in items]],
-                                 [q for _, q in items])
-        for (slot, seq), tok in zip(items, toks):
-            self.lengths[slot] += 1
-            tok = int(tok)
-            seq.output_ids.append(tok)
-            self._next_tokens[slot] = tok
-            self._maybe_finish(seq)
+        items = [(s, q) for s, q in self.running.items() if q.num_beams == 1]
+        beam_seqs = list({id(q): q for q in self.running.values()
+                          if q.num_beams > 1}.values())
+        if items:
+            toks = self._sample_many(logits[[s for s, _ in items]],
+                                     [q for _, q in items])
+            for (slot, seq), tok in zip(items, toks):
+                self.lengths[slot] += 1
+                tok = int(tok)
+                seq.output_ids.append(tok)
+                self._next_tokens[slot] = tok
+                self._maybe_finish(seq)
+        for seq in beam_seqs:
+            self._beam_advance(seq, logits)
 
     def _maybe_finish(self, seq: Sequence):
         done = (len(seq.output_ids) >= seq.max_new_tokens

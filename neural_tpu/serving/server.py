@@ -21,11 +21,17 @@ class Query:
     """reference: Query (main_pybind.cpp:59)."""
 
     def __init__(self, query_id, token_ids, max_new_tokens: int = 128,
-                 sampling=None):
+                 sampling=None, num_beams: Optional[int] = None,
+                 length_penalty: Optional[float] = None,
+                 min_new_tokens: Optional[int] = None):
+        """Beam fields default to None = inherit the server's defaults."""
         self.id = query_id
         self.token_ids = list(token_ids)
         self.max_new_tokens = max_new_tokens
         self.sampling = sampling
+        self.num_beams = num_beams
+        self.length_penalty = length_penalty
+        self.min_new_tokens = min_new_tokens
 
 
 class ModelServer:
@@ -67,11 +73,16 @@ class ModelServer:
                 temperature=kw.pop("temperature", 0.8),
                 top_k=kw.pop("top_k", 40), top_p=kw.pop("top_p", 0.95),
                 repeat_penalty=kw.pop("repetition_penalty", 1.1))
+        # beam defaults for queries that don't set their own (reference
+        # gpt_params beam_search/beam_size → in-scheduler beam steps)
+        self.default_num_beams = kw.pop("num_beams", 1)
+        self.default_length_penalty = kw.pop("length_penalty", 1.0)
+        self.default_min_new_tokens = kw.pop("min_new_tokens", 0)
+        kw.pop("early_stopping", None)  # HF can't-be-beaten stop is always on
         for ignored in ("threads", "scratch_size_ratio",
                         "continuous_batching", "print_log", "seed",
                         "do_sample", "temperature", "top_k", "top_p",
-                        "repetition_penalty", "num_beams", "min_new_tokens",
-                        "length_penalty", "early_stopping", "pad_token",
+                        "repetition_penalty", "pad_token",
                         "n_keep", "n_discard", "shift_roped_k", "init_cb"):
             kw.pop(ignored, None)
         if kw:
@@ -130,9 +141,15 @@ class ModelServer:
             with self._lock:
                 pending, self._pending = self._pending, []
             for q in pending:
-                self.scheduler.add_request(q.id, q.token_ids,
-                                           q.max_new_tokens,
-                                           sampling=q.sampling)
+                self.scheduler.add_request(
+                    q.id, q.token_ids, q.max_new_tokens,
+                    sampling=q.sampling,
+                    num_beams=getattr(q, "num_beams", None)
+                    or self.default_num_beams,
+                    length_penalty=getattr(q, "length_penalty", None)
+                    or self.default_length_penalty,
+                    min_new_tokens=getattr(q, "min_new_tokens", None)
+                    or self.default_min_new_tokens)
             if self.scheduler.has_work:
                 self.scheduler.step()
                 done = self.scheduler.pop_finished()

@@ -142,3 +142,74 @@ def test_model_server_reference_kwargs(model, tmp_path):
     with pytest.raises(TypeError):
         ModelServer(params=params, cfg=cfg, response_callback=lambda s: None,
                     not_a_real_kwarg=1).stop()
+
+
+def test_scheduler_beam_matches_standalone(model):
+    """In-scheduler beam search (reference scheduler.cpp:99-148 runs beam
+    steps inside the worker) must reproduce the standalone beam_search
+    result, even with greedy traffic sharing the batch."""
+    from neural_tpu.runtime.beam import beam_search
+
+    params, cfg = model
+    prompt = [3, 11, 7, 29]
+    n_new, W = 6, 3
+    ref = beam_search(params, cfg, prompt, beam_size=W,
+                      max_new_tokens=n_new, max_len=64)
+
+    sched = Scheduler(params, cfg, max_batch=4, max_len=64,
+                      prefill_buckets=(32,),
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("beam", prompt, max_new_tokens=n_new, num_beams=W)
+    sched.add_request("greedy", [5, 6, 7], max_new_tokens=n_new)
+    done = {s.request_id: s for s in sched.run_to_completion()}
+    assert set(done) == {"beam", "greedy"}
+
+    got = done["beam"]
+    want_ids = ref[0].ids[len(prompt):]
+    assert got.output_ids == want_ids, (got.output_ids, want_ids)
+    # all W hypotheses surface, scores sorted and matching
+    assert len(got.hypotheses) == W
+    for (ids, score), hyp in zip(got.hypotheses, ref):
+        assert ids == hyp.ids[len(prompt):]
+        np.testing.assert_allclose(score, hyp.score, rtol=1e-4, atol=1e-5)
+    # greedy request unaffected by sharing the batch with a beam group
+    ref_g = ref_outputs(params, cfg, [[5, 6, 7]], n_new)[0]
+    assert done["greedy"].output_ids == ref_g
+
+
+def test_scheduler_beam_blocks_until_slots(model):
+    """A beam request needing W contiguous slots defers until they free."""
+    params, cfg = model
+    sched = Scheduler(params, cfg, max_batch=4, max_len=64,
+                      prefill_buckets=(32,),
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    for i in range(3):
+        sched.add_request(f"g{i}", [2 + i, 3, 4], max_new_tokens=4)
+    sched.add_request("beam", [9, 8], max_new_tokens=4, num_beams=3)
+    done = {s.request_id: s for s in sched.run_to_completion()}
+    assert set(done) == {"g0", "g1", "g2", "beam"}
+    assert len(done["beam"].output_ids) <= 4
+    assert len(done["beam"].hypotheses) == 3
+
+
+def test_server_beam_query(model):
+    """Beam queries through ModelServer (reference num_beams kwarg)."""
+    from neural_tpu.runtime.beam import beam_search
+
+    params, cfg = model
+    prompt = [4, 19, 2]
+    ref = beam_search(params, cfg, prompt, beam_size=2, max_new_tokens=4,
+                      max_len=64)
+    got = {}
+    with ModelServer(params, cfg,
+                     lambda seqs: got.update({s.request_id: s for s in seqs}),
+                     max_batch=4, max_len=64,
+                     sampling=SamplingParams(greedy=True,
+                                             repeat_penalty=1.0)) as srv:
+        srv.issueQuery(Query("b", prompt, 4, num_beams=2))
+        t0 = time.time()
+        while "b" not in got and time.time() - t0 < 120:
+            time.sleep(0.05)
+    assert got["b"].output_ids == ref[0].ids[len(prompt):]
