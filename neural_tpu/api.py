@@ -152,11 +152,11 @@ class Model:
         if magic == b"GGUF":
             from .convert.gguf_models import load_gguf
             from .convert.gguf import GGUFReader
-            from .tokenizer import SPMTokenizer
+            from .tokenizer import tokenizer_from_gguf
             self.params, self.cfg = load_gguf(path)
             r = GGUFReader(path)
             if "tokenizer.ggml.tokens" in r.kv:
-                self.tokenizer = SPMTokenizer.from_gguf(r)
+                self.tokenizer = tokenizer_from_gguf(r)
             r.close()
         elif magic == b"NTPU":
             from .convert.checkpoint import load_checkpoint

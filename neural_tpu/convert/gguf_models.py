@@ -141,16 +141,39 @@ def load_gguf(path: str, dtype=jnp.bfloat16) -> Tuple[Dict[str, Any],
     return params, cfg
 
 
-def export_gguf(hf_model, path: str, ggml_type: int = GGML_Q4_0):
+def export_gguf(hf_model, path: str, ggml_type: int = GGML_Q4_0,
+                tokenizer=None, extra_kv=None):
     """HF llama-family torch model → GGUF file (reference converter path:
     convert_llama.py). Norms/embeddings write as F32, linears as
-    ``ggml_type``."""
+    ``ggml_type``. ``tokenizer``: an HF tokenizer whose vocab (+BPE merges
+    when present) is embedded as tokenizer.ggml.* kvs, like the reference
+    converters do; ``extra_kv``: additional raw kvs."""
     from ..models import llama as llama_mod
     cfg = llama_mod.config_from_hf(hf_model.config)
     sd = {k: v.detach().float().numpy()
           for k, v in hf_model.state_dict().items()}
 
     w = GGUFWriter(path)
+    if tokenizer is not None:
+        vocab = tokenizer.get_vocab()
+        tokens = [""] * (max(vocab.values()) + 1)
+        for t, i in vocab.items():
+            tokens[i] = t
+        w.add_kv("tokenizer.ggml.tokens", tokens)
+        ranks = getattr(tokenizer, "bpe_ranks", None)
+        if ranks:   # byte-level BPE (slow GPT2-family tokenizer)
+            w.add_kv("tokenizer.ggml.model", "gpt2")
+            w.add_kv("tokenizer.ggml.merges",
+                     [f"{a} {b}" for (a, b), _ in
+                      sorted(ranks.items(), key=lambda kv: kv[1])])
+        else:       # SPM-style: per-token scores if available
+            w.add_kv("tokenizer.ggml.model", "llama")
+            sp = getattr(tokenizer, "sp_model", None)
+            if sp is not None:
+                w.add_kv("tokenizer.ggml.scores",
+                         [float(sp.get_score(i)) for i in range(len(tokens))])
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
     w.add_kv("general.architecture", "llama")
     w.add_kv("general.name", "neural-tpu-export")
     w.add_kv("llama.embedding_length", cfg.hidden_size)

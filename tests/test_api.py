@@ -195,3 +195,59 @@ def test_quant_model_file_to_file(tmp_path):
     assert qts and all(q.cfg.bits == 8 for q in qts)
     out = m2.generate([[5, 6, 7]], max_new_tokens=4, stop_at_eos=False)[0]
     assert len(out) == 7
+
+
+def test_bpe_tokenizer_matches_hf_gpt2():
+    """Byte-level BPE vs the HF GPT2Tokenizer oracle on a constructed
+    vocab (pretokenizer + merge order + byte fallback must all agree)."""
+    import json
+    import tempfile
+    import os
+    from neural_tpu.tokenizer import BPETokenizer, _bytes_to_unicode
+
+    merges = ["h e", "l l", "he ll", "hell o", "w o", "r l", "wo rl",
+              "worl d", "Ġ hello", "Ġ world", "1 2", "12 3", "a n",
+              "an d", "Ġ and", "Ċ Ċ", "! !"]
+    vocab = [c for _, c in sorted(_bytes_to_unicode().items())]
+    for m in merges:
+        a, b = m.split(" ")
+        vocab.append(a + b)
+    with tempfile.TemporaryDirectory() as d:
+        vf, mf = os.path.join(d, "vocab.json"), os.path.join(d, "merges.txt")
+        with open(vf, "w") as f:
+            json.dump({t: i for i, t in enumerate(vocab)}, f)
+        with open(mf, "w") as f:
+            f.write("#version: 0.2\n" + "\n".join(merges) + "\n")
+        from transformers import GPT2Tokenizer
+        hf = GPT2Tokenizer(vf, mf)
+
+    tok = BPETokenizer(vocab, merges)
+    cases = ["hello world", "  hello   world!!", "don't we'll you've",
+             "hello123 and 456", "tab\there\n\nnewlines  ",
+             "naïve café ☕ ok", "trailing space ", " ", "",
+             "MixedCASE Words", "a b"]  # nbsp
+    for s in cases:
+        got = tok.encode(s)
+        want = hf.encode(s)
+        assert got == want, (s, got, want,
+                             [hf.convert_ids_to_tokens(want)])
+        assert tok.decode(got) == s or s == ""  # byte-exact roundtrip
+
+
+def test_tokenizer_from_gguf_dispatch():
+    from neural_tpu.tokenizer import (tokenizer_from_gguf, BPETokenizer,
+                                      SPMTokenizer)
+
+    class FakeReader:
+        def __init__(self, kv):
+            self.kv = kv
+
+    base = {"tokenizer.ggml.tokens": ["a", "b"],
+            "tokenizer.ggml.merges": ["a b"]}
+    assert isinstance(
+        tokenizer_from_gguf(FakeReader({**base, "tokenizer.ggml.model":
+                                        "gpt2"})), BPETokenizer)
+    assert isinstance(
+        tokenizer_from_gguf(FakeReader({**base, "tokenizer.ggml.model":
+                                        "llama"})), SPMTokenizer)
+    assert isinstance(tokenizer_from_gguf(FakeReader(base)), SPMTokenizer)
