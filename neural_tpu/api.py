@@ -203,6 +203,7 @@ class Model:
                  streaming: bool = False, max_len: Optional[int] = None,
                  streamer=None, interactive: bool = False,
                  ignore_prompt: bool = False, stopping_criteria=None,
+                 session_file: Optional[str] = None,
                  **kw) -> List[List[int]]:
         """reference Model.generate (__init__.py:337). Returns full id
         lists (prompt + new tokens), one per input row — or new tokens only
@@ -213,13 +214,20 @@ class Model:
         batch 1 only. ``interactive``: keep the KV cache across generate
         calls (multi-round chat; reference reinit/generate_round).
         ``stopping_criteria``: callable(ids_2d, scores) -> bool, checked
-        per token."""
+        per token. ``session_file``: prompt-keyed KV snapshot on disk
+        (reference CLI --session, main_run.cpp:614 + session files
+        model_utils.cpp:1775-1869): if the file exists and its saved
+        prompt is a prefix of this one, the matched prefix skips
+        re-evaluation; after prefill the state is saved back."""
         assert self.params is not None, "call init first"
         from .utils.profiling import Timings, maybe_trace
         timings = Timings()
         rows = _to_id_list(input_ids)
         hooked = (streamer is not None or stopping_criteria is not None
-                  or interactive)
+                  or interactive or session_file is not None)
+        if session_file is not None:
+            assert len(rows) == 1 and num_beams == 1, \
+                "session_file supports single-prompt, non-beam generation"
         if not interactive:
             self._session = None
         if streamer is not None:
@@ -240,7 +248,8 @@ class Model:
             if hooked:
                 outs.append(self._generate_hooked(
                     ids, sp, max_new_tokens, max_len, seed, stop_at_eos,
-                    streamer, stopping_criteria, interactive, ignore_prompt))
+                    streamer, stopping_criteria, interactive, ignore_prompt,
+                    session_file))
             elif streaming:
                 from .runtime.streaming import stream_generate
                 out = stream_generate(
@@ -262,9 +271,12 @@ class Model:
 
     def _generate_hooked(self, ids, sp, max_new_tokens, max_len, seed,
                          stop_at_eos, streamer, stopping_criteria,
-                         interactive, ignore_prompt):
+                         interactive, ignore_prompt, session_file=None):
         """Host-stepped generation with per-token hooks and (optionally) a
-        KV session kept across calls (reference interactive mode)."""
+        KV session kept across calls (reference interactive mode) or on
+        disk (reference --session files)."""
+        import os as _os
+
         import jax
         import jax.numpy as jnp
         from .runtime.generate import model_step
@@ -278,10 +290,28 @@ class Model:
             pos = 0
         else:
             cache, pos, S = self._session
-        if pos + len(ids) + max_new_tokens > S:
+        eval_ids = list(ids)
+        if session_file is not None and first_round \
+                and _os.path.exists(session_file):
+            from .convert.checkpoint import load_session
+            scache, slens, extra = load_session(session_file)
+            saved = list((extra or {}).get("prompt_ids", []))
+            n = int(slens[0])
+            # reuse iff the saved prompt is a prefix of ours and the cache
+            # geometry matches (reference: session token-prefix match,
+            # main_run.cpp "session file matches %d / %d tokens")
+            if (saved and saved == list(ids[:len(saved)]) and n == len(saved)
+                    and scache.k.shape == cache.k.shape
+                    and scache.k.dtype == cache.k.dtype):
+                cache, pos = scache, n
+                eval_ids = list(ids[n:])
+                if not eval_ids:   # full match: re-eval the last token
+                    pos -= 1
+                    eval_ids = [ids[-1]]
+        if pos + len(eval_ids) + max_new_tokens > S:
             raise ValueError(
-                f"context overflow: {pos}+{len(ids)}+{max_new_tokens} > {S};"
-                " raise max_len or use streaming=True (StreamingLLM)")
+                f"context overflow: {pos}+{len(eval_ids)}+{max_new_tokens}"
+                f" > {S}; raise max_len or use streaming=True (StreamingLLM)")
 
         out = list(ids) if (first_round and not ignore_prompt) else []
         if streamer is not None and first_round and not ignore_prompt:
@@ -290,11 +320,14 @@ class Model:
 
         state = SamplerState.init(1, sp)
         key = jax.random.PRNGKey(seed)
-        prompt = jnp.asarray(np.asarray(ids, np.int32)[None, :])
+        prompt = jnp.asarray(np.asarray(eval_ids, np.int32)[None, :])
         logits, cache = model_step(self.params, prompt,
                                    jnp.asarray([pos], jnp.int32), cache,
                                    self.cfg)
-        pos += len(ids)
+        pos += len(eval_ids)
+        if session_file is not None and first_round:
+            from .convert.checkpoint import save_session
+            save_session(session_file, cache, [pos], {"prompt_ids": list(ids)})
         full = list(ids) + []
         for i in range(max_new_tokens):
             key, sub = jax.random.split(key)

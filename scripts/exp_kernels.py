@@ -79,6 +79,35 @@ def mk_kernel(mode, tk, tn, g=G):
             w = w_ref[...].astype(jnp.bfloat16)
             acc_ref[...] += jnp.dot(x_ref[...], w,
                                     preferred_element_type=jnp.float32)
+        elif mode == "conv_f32":
+            # f32 convert + f32 dot, NO scales: isolates the scale-mul cost
+            wf = w_ref[...].astype(jnp.float32)
+            acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), wf,
+                                    preferred_element_type=jnp.float32)
+        elif mode.startswith("unroll"):
+            # grouped-partial scaling: dot each chunk unscaled, apply the
+            # per-group scale to the [tm, tn] partial (g/chunk fewer VPU
+            # multiplies on the weight stream than "full")
+            chunk = int(mode[6:])          # groups per dot
+            Gt = tk // g
+            kidx = pl.program_id(2)
+            wf = w_ref[...].astype(jnp.float32)
+            xf = x_ref[...].astype(jnp.float32)
+            st = s_ref[pl.ds(kidx * Gt, Gt), :].astype(jnp.float32)
+            acc = jnp.zeros(acc_ref.shape, jnp.float32)
+            for c in range(Gt // chunk):
+                lo = c * chunk * g
+                if chunk == 1:
+                    part = jnp.dot(xf[:, lo:lo + g], wf[lo:lo + g, :],
+                                   preferred_element_type=jnp.float32)
+                    acc = acc + part * st[c].reshape(1, tn)
+                else:
+                    wc = wf[lo:lo + chunk * g, :].reshape(chunk, g, tn)
+                    wc = (wc * st[c * chunk:(c + 1) * chunk].reshape(
+                        chunk, 1, tn)).reshape(chunk * g, tn)
+                    acc = acc + jnp.dot(xf[:, lo:lo + chunk * g], wc,
+                                        preferred_element_type=jnp.float32)
+            acc_ref[...] += acc
         elif mode == "grouped":
             w = w_ref[...].astype(jnp.bfloat16)
             Gt = tk // g

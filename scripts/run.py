@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--streaming-llm", action="store_true",
                     help="StreamingLLM shift-RoPE infinite inference")
     ap.add_argument("--save", help="save converted model to .ntpu")
+    ap.add_argument("--session", help="prompt-keyed KV session file "
+                    "(reference --session: reuse matching prompt prefix)")
     args = ap.parse_args()
 
     import neural_tpu as nt
@@ -44,7 +46,8 @@ def main():
                            do_sample=args.do_sample,
                            temperature=args.temperature, top_k=args.top_k,
                            top_p=args.top_p, num_beams=args.num_beams,
-                           streaming=args.streaming_llm)
+                           streaming=args.streaming_llm,
+                           session_file=args.session)
     print(args.prompt + text)
 
 

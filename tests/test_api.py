@@ -251,3 +251,47 @@ def test_tokenizer_from_gguf_dispatch():
         tokenizer_from_gguf(FakeReader({**base, "tokenizer.ggml.model":
                                         "llama"})), SPMTokenizer)
     assert isinstance(tokenizer_from_gguf(FakeReader(base)), SPMTokenizer)
+
+
+def test_session_file_prefix_reuse(tmp_path, small_model=None):
+    """Prompt-keyed session files (reference CLI --session): a rerun with
+    the same prompt and an extended prompt must both match fresh runs."""
+    import jax.numpy as jnp
+    import neural_tpu as nt
+    from neural_tpu.convert import init_random
+    from neural_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(arch="llama", vocab_size=96, hidden_size=64,
+                      n_layers=2, n_heads=4, n_kv_heads=4, head_dim=16,
+                      intermediate_size=128, max_seq_len=64,
+                      eos_token_id=999)
+    m = nt.Model()
+    m.params, m.cfg = init_random(cfg, dtype=jnp.float32), cfg
+
+    prompt = [3, 14, 15, 9, 2]
+    sess = str(tmp_path / "s.ntpus")
+    fresh = m.generate(prompt, max_new_tokens=6, max_len=64,
+                       repetition_penalty=1.0)[0]
+    got1 = m.generate(prompt, max_new_tokens=6, max_len=64,
+                      repetition_penalty=1.0, session_file=sess)[0]
+    assert got1 == fresh
+    import os
+    assert os.path.exists(sess)
+    # identical prompt: full-prefix reuse
+    got2 = m.generate(prompt, max_new_tokens=6, max_len=64,
+                      repetition_penalty=1.0, session_file=sess)[0]
+    assert got2 == fresh
+    # extended prompt: partial-prefix reuse must equal a fresh run
+    longer = prompt + [7, 7, 1]
+    fresh_l = m.generate(longer, max_new_tokens=6, max_len=64,
+                         repetition_penalty=1.0)[0]
+    got3 = m.generate(longer, max_new_tokens=6, max_len=64,
+                      repetition_penalty=1.0, session_file=sess)[0]
+    assert got3 == fresh_l
+    # divergent prompt: no reuse, still correct
+    other = [9, 9, 9]
+    fresh_o = m.generate(other, max_new_tokens=6, max_len=64,
+                         repetition_penalty=1.0)[0]
+    got4 = m.generate(other, max_new_tokens=6, max_len=64,
+                      repetition_penalty=1.0, session_file=sess)[0]
+    assert got4 == fresh_o
