@@ -542,9 +542,23 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
     s = tile(s_ref).astype(jnp.float32)              # [G, tn]
     K, tn = w.shape
     G = s.shape[0]
-    wg = (w.reshape(G, group_size, tn) * s[:, None, :]).reshape(K, tn)
-    acc = jnp.dot(x_ref[...].astype(jnp.float32), wg,
-                  preferred_element_type=jnp.float32)
+    xf = x_ref[...].astype(jnp.float32)
+    if G <= 256:
+        # grouped-partial scaling: dot each group UNSCALED and apply the
+        # per-group scale to the [tm, tn] partial — tm/g of the VPU
+        # multiplies of scaling the weight tile itself. Measured (v5e,
+        # M=8, K=4096, tn=2048, g=32): 480 GB/s effective weight stream
+        # vs 339 for scale-the-weights, 537 no-scale ceiling
+        # (scripts/exp_kernels.py unroll1 variant).
+        acc = jnp.zeros((xf.shape[0], tn), jnp.float32)
+        for gi in range(G):
+            part = jnp.dot(xf[:, gi * group_size:(gi + 1) * group_size],
+                           w[gi * group_size:(gi + 1) * group_size, :],
+                           preferred_element_type=jnp.float32)
+            acc = acc + part * s[gi].reshape(1, tn)
+    else:
+        wg = (w.reshape(G, group_size, tn) * s[:, None, :]).reshape(K, tn)
+        acc = jnp.dot(xf, wg, preferred_element_type=jnp.float32)
     if has_zeros:
         z = tile(z_ref)
         if z.dtype == jnp.uint8:

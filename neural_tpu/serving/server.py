@@ -47,9 +47,13 @@ class ModelServer:
         ctx_size → max_len, max_request_num/batch_size → max_batch,
         memory_dtype ("auto"/"f16" → bf16, "int8"), max_new_tokens /
         do_sample / top_k / top_p / temperature / repetition_penalty /
-        seed → default per-query sampling, return_prompt. ``threads``,
-        ``scratch_size_ratio``, ``continuous_batching`` (always on) and
-        ``print_log`` are accepted and ignored (XLA schedules compute)."""
+        seed → default per-query sampling, return_prompt;
+        num_beams / length_penalty / min_new_tokens → default beam config
+        for queries that don't set their own (beam requests run inside the
+        batched scheduler step, reference scheduler.cpp:99-148).
+        ``threads``, ``scratch_size_ratio``, ``continuous_batching``
+        (always on) and ``print_log`` are accepted and ignored (XLA
+        schedules compute)."""
         import jax.numpy as jnp
         if model_path is not None and params is None:
             from ..api import Model

@@ -344,3 +344,14 @@ def test_native_oddbit_remap(bits, sym):
     ref = np.asarray(matmul_ref(x, qt, jnp.float32))
     out = np.asarray(qmatmul(x, qtn, out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_decode4_per_tensor_scale():
+    """group_size=-1 (one group spans K): grouped-partial loop of 1."""
+    _check_decode4(QuantConfig(bits=4, sym=True, group_size=-1), K=256)
+
+
+def test_decode4_many_groups_fallback():
+    """G > 256 takes the scale-the-weights branch (unroll guard)."""
+    _check_decode4(QuantConfig(bits=4, sym=True, group_size=32), K=16384,
+                   N=256)
