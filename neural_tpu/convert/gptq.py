@@ -192,4 +192,11 @@ def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
         params["lm_head"] = jnp.asarray(
             np.asarray(sd["lm_head.weight"]).T, dtype)
     _add_aux(params, cfg)
+    if any(isinstance(v, QTensor) and v.perm is not None
+           for v in layers.values()):
+        # act-order: fuse qkv / gate-up so each fused GEMM pays ONE shared
+        # activation gather (same-Hessian projections share g_idx) — 3
+        # gathers/layer instead of 6 on the decode path.
+        from ..runtime.generate import fuse_layer_weights
+        params = fuse_layer_weights(params, cfg)
     return params

@@ -361,19 +361,30 @@ def concat_n(qts: Sequence["QTensor"]) -> "QTensor":
     """Concatenate QTensors along N (output features): the storage-level
     analog of fusing QKV / gate-up projections into one GEMM (reference:
     fused qkv ne_bestla.h:42; models build fused graphs per arch). All
-    inputs must share cfg, K, and have no act-order permutation. Works on
-    packed (uint8) planes outside jit — call once at load time."""
+    inputs must share cfg and K. Act-order tensors fuse iff they share the
+    SAME K-permutation (GPTQ quantizes q/k/v — and gate/up — against the
+    same Hessian, so their g_idx match; the fused GEMM then needs ONE
+    activation gather instead of three). Works on packed (uint8) planes
+    outside jit — call once at load time."""
     first = qts[0]
     assert all(q.cfg == first.cfg for q in qts), "mixed quant configs"
     assert all(q.K == first.K for q in qts), "mixed K"
-    assert all(q.perm is None for q in qts), "act-order tensors can't fuse"
+    if first.perm is not None:
+        import numpy as _np
+        assert all(q.perm is not None
+                   and _np.array_equal(_np.asarray(q.perm),
+                                       _np.asarray(first.perm))
+                   for q in qts), "act-order tensors need matching perms"
+    else:
+        assert all(q.perm is None for q in qts), \
+            "mixed act-order/plain tensors can't fuse"
     planes = tuple(jnp.concatenate([q.planes[i] for q in qts], axis=-1)
                    for i in range(len(first.planes)))
     scales = jnp.concatenate([q.scales for q in qts], axis=-1)
     zeros = None
     if first.zeros is not None:
         zeros = jnp.concatenate([q.zeros for q in qts], axis=-1)
-    return QTensor(planes, scales, zeros, None, first.cfg)
+    return QTensor(planes, scales, zeros, first.perm, first.cfg)
 
 
 NATIVE_DTYPES = (jnp.int4, jnp.uint4, jnp.int8)

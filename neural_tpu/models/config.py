@@ -60,6 +60,12 @@ class ModelConfig:
     embed_scale: float = 1.0      # gemma: sqrt(hidden)
     logit_softcap: float = 0.0
     final_norm: bool = True
+    # ChatGLM v1 (GLM prefix-LM graph, reference models/chatglm/chatglm.cpp):
+    # bidirectional attention over the prompt except its final token's key,
+    # 2-D GLM RoPE (rope_style="glm1"), and DeepNorm-style residuals
+    # x = alpha * norm_out + branch_out with alpha = sqrt(2 * n_layers).
+    prefix_lm: bool = False
+    residual_alpha: float = 1.0
 
     sliding_window: int = 0       # mistral/gemma2 local attention window
     post_ffn_norm: bool = False   # gemma2 post-feedforward norm

@@ -26,19 +26,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention import _decode_kernel, attend_xla, quantize_kv
 
 
-def _paged_decode_kernel(lens_ref, table_ref, *refs, **kw):
+def _paged_decode_kernel(lens_ref, win_ref, table_ref, *refs, **kw):
     # table_ref is consumed only by the block index maps
     del table_ref
-    _decode_kernel(lens_ref, *refs, **kw)
+    _decode_kernel(lens_ref, win_ref, *refs, **kw)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softcap", "scale", "window", "interpret"))
+    jax.jit, static_argnames=("softcap", "scale", "interpret"))
 def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
-                       softcap=0.0, scale=None, window=0, interpret=False,
-                       lidx=None):
+                       slopes=None, softcap=0.0, scale=None, window=0,
+                       interpret=False, lidx=None):
     """q: [B, Hq, Dh]; pools [(L,) P, Hkv, ps, Dh] (+ scales) with ``lidx``
-    selecting the layer when stacked; table [B, MAXP] int32; lengths [B].
+    selecting the layer when stacked; table [B, MAXP] int32; lengths [B];
+    ``window`` int or traced scalar, ``slopes`` [Hq] for fused ALiBi.
     → [B, Hq, Dh] f32."""
     B, Hq, Dh = q.shape
     stacked = k_pool.ndim == 5
@@ -48,30 +49,44 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
     G8 = max(8, G)
     scale = Dh ** -0.5 if scale is None else float(scale)
     kv_int8 = k_scale is not None
+    has_slopes = slopes is not None
     assert stacked == (lidx is not None)
     lead = (1,) if stacked else ()
 
     qg = q.reshape(B, Hkv, G, Dh)
     if G8 != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
+    if has_slopes:
+        sl = slopes.astype(jnp.float32).reshape(Hkv, G)
+        if G8 != G:
+            sl = jnp.pad(sl, ((0, 0), (0, G8 - G)))
 
     def cmap(f):
-        # physical page = table[b, min(p, last-filled-page)]: ordinals past
-        # the fill repeat the previous block → Pallas skips the DMA (the
-        # kernel body already skips the compute).
-        def m(b, h, p, lens, tab, *l_ref):
+        # physical page = table[b, clamp(p, first-window-page,
+        # last-filled-page)]: ordinals outside the valid range repeat a
+        # previous block → Pallas skips the DMA (the kernel body already
+        # skips the compute).
+        def m(b, h, p, lens, win, tab, *l_ref):
             nv = (lens[b] + ps - 1) // ps
-            pc = jnp.minimum(p, jnp.maximum(nv - 1, 0))
+            pmin = jnp.where(win[0] > 0,
+                             jnp.maximum((lens[b] - win[0]) // ps, 0), 0)
+            pc = jnp.minimum(jnp.maximum(p, pmin), jnp.maximum(nv - 1, 0))
             idx = f(tab[b, pc], h)
             return (l_ref[0][0], *idx) if stacked else idx
         return m
 
     in_specs = [
         pl.BlockSpec((1, 1, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
+    ]
+    operands = [qg]
+    if has_slopes:
+        in_specs.append(pl.BlockSpec((1, G8), lambda b, h, p, *_: (h, 0)))
+        operands.append(sl)
+    in_specs += [
         pl.BlockSpec((*lead, 1, 1, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
         pl.BlockSpec((*lead, 1, 1, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
     ]
-    operands = [qg, k_pool, v_pool]
+    operands += [k_pool, v_pool]
     if kv_int8:
         in_specs += [
             pl.BlockSpec((*lead, 1, 1, 8, ps), cmap(lambda pg, h: (pg, h, 0, 0))),
@@ -80,10 +95,12 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
 
     kernel = functools.partial(
         _paged_decode_kernel, blk_s=ps, kv_int8=kv_int8,
-        softcap=float(softcap), scale=scale, window=int(window),
+        softcap=float(softcap), scale=scale, has_slopes=has_slopes,
         stacked=stacked)
 
-    scalars = [lengths.astype(jnp.int32), table.astype(jnp.int32)]
+    scalars = [lengths.astype(jnp.int32),
+               jnp.asarray(window, jnp.int32).reshape(1),
+               table.astype(jnp.int32)]
     if stacked:
         scalars.append(jnp.asarray(lidx, jnp.int32).reshape(1))
     # dynamic grid bound: iterate only the pages the longest sequence
@@ -148,12 +165,20 @@ def attend_paged(q, k_pool, v_pool, k_scale, v_scale, table, positions, cfg,
     backend = jax.default_backend()
     use_pallas = (force == "pallas" or interpret
                   or (force is None and backend == "tpu"))
-    if (use_pallas and T == 1 and sliding is None and not cfg.use_alibi
-            and Dh % 128 == 0 and ps % 256 == 0 and force != "xla"):
+    if not cfg.sliding_window:
+        window = 0
+    elif sliding is None:
+        window = int(cfg.sliding_window)
+    else:
+        window = jnp.where(sliding, jnp.int32(cfg.sliding_window),
+                           jnp.int32(0))
+    if (use_pallas and T == 1 and Dh % 128 == 0 and ps % 256 == 0
+            and force != "xla"):
         out = paged_flash_decode(
             q[:, 0], k_pool, v_pool, k_scale, v_scale, table,
             lengths=positions[:, 0] + 1,
-            softcap=cfg.attn_softcap, window=cfg.sliding_window or 0,
+            slopes=slopes if cfg.use_alibi else None,
+            softcap=cfg.attn_softcap, window=window,
             scale=(cfg.attn_scale if cfg.attn_scale is not None
                    else Dh ** -0.5),
             interpret=interpret, lidx=lidx if stacked else None)

@@ -751,11 +751,13 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         if lidx is not None and perm.ndim == 2:
             perm = jax.lax.dynamic_index_in_dim(perm, lidx, 0,
                                                 keepdims=False)
-        # strategy (override with NTPU_GATHER=lane|sub|onehot): XLA's TPU
-        # lane gather costs ~36 us on a [16, 4096] row feeding a kernel;
-        # expressing the permutation as a one-hot matmul halves that
-        # (~22 us — the iota-compare fuses into the dot operand). For
-        # prefill-sized M the dot's FLOPs dominate and take() wins.
+        # strategy (override with NTPU_GATHER=lane|sub|onehot): measured
+        # IN-GRAPH on a 4-layer 7B-shape decode (v5e): one-hot 21.2 us per
+        # [16, 4096] gather vs take-lane 24.5 / take-sub 24.6. (A pure
+        # op-chain microbench flips the order — lane 11.4 vs one-hot 14.3 —
+        # because there the take fuses into its consumer; feeding a Pallas
+        # kernel it can't.) Mosaic's in-kernel tpu.dynamic_gather was also
+        # tried and hangs/fails to compile at [16, 4096] bf16.
         strat = os.environ.get("NTPU_GATHER")
         if strat is None:
             strat = "onehot" if x2.shape[0] <= 64 else "lane"

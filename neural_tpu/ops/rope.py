@@ -77,6 +77,30 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+def apply_rope_glm1(x: jnp.ndarray, positions: jnp.ndarray,
+                    prompt_len: jnp.ndarray,
+                    inv_freqs: jnp.ndarray) -> jnp.ndarray:
+    """ChatGLM v1's 2-D GLM RoPE (reference: ne_layers.c:9324 ``is_glm``).
+
+    x: [B, T, H, Dh]; positions [B, T] absolute; prompt_len [B] (the
+    per-request prompt size P). Two independent NeoX-style rotations on
+    the two halves of the head:
+    - dims [0, Dh/2): position id  = min(p, P-2)   (clamped at the [gMASK])
+    - dims [Dh/2, Dh): block id    = max(p-(P-2), 0)  (generation counter)
+    ``inv_freqs`` are for n_dims = Dh/2 (rope_freqs(head_dim, Dh//2, ...)).
+    """
+    Dh = x.shape[-1]
+    d = Dh // 2
+    anchor = (prompt_len - 2)[:, None]                       # [B, 1]
+    pos = jnp.minimum(jnp.maximum(positions, 0), jnp.maximum(anchor, 0))
+    blk = jnp.maximum(positions - anchor, 0)
+    c1, s1 = rope_cos_sin(pos, inv_freqs)
+    c2, s2 = rope_cos_sin(blk, inv_freqs)
+    x1 = apply_rope(x[..., :d], c1, s1, "neox", d)
+    x2 = apply_rope(x[..., d:], c2, s2, "neox", d)
+    return jnp.concatenate([x1, x2], axis=-1).astype(x.dtype)
+
+
 def alibi_slopes(n_heads: int) -> np.ndarray:
     """ALiBi per-head slopes (MPT/Bloom/Baichuan-13B).
 

@@ -123,15 +123,30 @@ def fuse_layer_weights(params, cfg: ModelConfig):
     (parallel/sharding.py) — apply fusion per-rank or not at all there.
     Layers may be a stacked dict ([L, ...] leaves) or unrolled tuples.
     No-op for layers whose projections can't fuse (different quant configs,
-    act-order perms, fp weights, MoE).
+    mismatched act-order perms, fp weights, MoE). Act-order projections
+    with IDENTICAL perms (the GPTQ same-Hessian case) do fuse — and the
+    fusion is how act-order decode sheds 2 of its 3 per-branch activation
+    gathers (reference analog: the in-kernel activation shuffle,
+    bestla_prologue_a.h:299 ShuffleActivationKBlockBase).
     """
     from ..core.qtensor import QTensor, concat_n
+
+    def perms_fusable(ts):
+        # all plain, or all act-order with identical perms (GPTQ quantizes
+        # same-input projections against the same Hessian → same g_idx);
+        # the fused GEMM then pays ONE activation gather instead of three.
+        if all(t.perm is None for t in ts):
+            return True
+        if any(t.perm is None for t in ts):
+            return False
+        p0 = np.asarray(ts[0].perm)
+        return all(np.array_equal(np.asarray(t.perm), p0) for t in ts[1:])
 
     def fuse_one(lp):
         lp = dict(lp)
         trio = [lp.get(k) for k in ("wq", "wk", "wv")]
         if all(isinstance(t, QTensor) for t in trio) and \
-                all(t.perm is None for t in trio) and \
+                perms_fusable(trio) and \
                 len({t.cfg for t in trio}) == 1 and \
                 trio[0].N == cfg.n_heads * cfg.head_dim and \
                 trio[1].N == cfg.n_kv_heads * cfg.head_dim:
@@ -145,7 +160,7 @@ def fuse_layer_weights(params, cfg: ModelConfig):
                     lp.pop(k, None)
         duo = [lp.get(k) for k in ("w_gate", "w_up")]
         if all(isinstance(t, QTensor) for t in duo) and \
-                all(t.perm is None for t in duo) and \
+                perms_fusable(duo) and \
                 duo[0].cfg == duo[1].cfg and duo[0].N == duo[1].N:
             bias = [lp.get(k) for k in ("b_gate", "b_up")]
             if all(b is None for b in bias) or all(

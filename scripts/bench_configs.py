@@ -76,31 +76,72 @@ def slope_decode(params, cfg, S=2048, fill=128, lo=4, hi=36,
 
 
 def cfg2_mistral_gptq():
-    """int4 asym g=128 with act-order perm + int8 KV cache."""
+    """int4 asym g=128 with act-order perms + int8 KV cache.
+
+    Perm layout matches a real GPTQ import (convert/gptq.py): q/k/v share
+    one g_idx (same Hessian), gate/up share one, w_down's perm is folded
+    into gate/up output columns, wo keeps its own — and fuse_layer_weights
+    merges qkv / gate-up so decode pays 3 shared activation gathers per
+    layer instead of 6.
+    """
+    from neural_tpu.core.qtensor import QTensor
+    from neural_tpu.runtime.generate import fuse_layer_weights
     qcfg = QuantConfig(bits=4, group_size=128, sym=False)
     params = rand_params(MISTRAL_7B, qcfg)
-    # act-order: attach a random K-permutation per layer stack (worst case:
-    # every matmul pays the activation gather)
-    from neural_tpu.core.qtensor import QTensor
     rng = np.random.default_rng(0)
+    layers = dict(params["layers"])
+    L = layers["wq"].planes[0].shape[0]
+    D = MISTRAL_7B.hidden_size
 
-    def add_perm(qt):
-        if not isinstance(qt, QTensor):
-            return qt
-        L = qt.planes[0].shape[0]
-        perm = np.stack([rng.permutation(qt.K) for _ in range(L)]) \
-            if qt.planes[0].ndim == 3 else rng.permutation(qt.K)
-        return QTensor(planes=qt.planes, scales=qt.scales, zeros=qt.zeros,
-                       perm=jnp.asarray(perm, jnp.int32), cfg=qt.cfg)
-
-    params = {k: (jax.tree.map(add_perm, v,
-                               is_leaf=lambda x: isinstance(x, QTensor))
-                  if k == "layers" else add_perm(v))
-              for k, v in params.items()}
+    def perms(k):
+        return jnp.asarray(np.stack([rng.permutation(k) for _ in range(L)]),
+                           jnp.int32)
+    pq, po, pg = perms(D), perms(D), perms(D)
+    for n, p in (("wq", pq), ("wk", pq), ("wv", pq), ("wo", po),
+                 ("w_gate", pg), ("w_up", pg)):
+        qt = layers[n]
+        layers[n] = QTensor(qt.planes, qt.scales, qt.zeros, p, qt.cfg)
+    params = fuse_layer_weights(dict(params, layers=layers), MISTRAL_7B)
     dt = slope_decode(params, MISTRAL_7B, cache_dtype="int8")
     return {"config": "mistral7b_gptq_int4_asym_actorder_int8kv",
             "next_token_ms": round(dt * 1e3, 2),
             "tokens_per_sec": round(1 / dt, 1)}
+
+
+def cfg5_alibi_sliding():
+    """Fused-kernel coverage shapes: MPT-7B (ALiBi) and a Gemma-2-styled 7B
+    (per-layer sliding + softcaps) — both must decode on the Pallas kernel
+    within ~10% of the plain llama shape (VERDICT r1 item 2)."""
+    import dataclasses
+    out = {}
+    qcfg = QuantConfig(bits=4, group_size=32, sym=True)
+
+    llama = LLAMA2_7B
+    dt0 = slope_decode(rand_params(llama, qcfg), llama)
+    out["llama7b_next_token_ms"] = round(dt0 * 1e3, 2)
+
+    mpt = ModelConfig(
+        arch="mpt", vocab_size=50432, hidden_size=4096, n_layers=32,
+        n_heads=32, n_kv_heads=32, head_dim=128, intermediate_size=16384,
+        max_seq_len=2048, use_alibi=True, rope_style="none",
+        norm_type="layernorm", mlp_gated=False, act="gelu")
+    dt = slope_decode(rand_params(mpt, qcfg), mpt)
+    out["mpt7b_alibi_next_token_ms"] = round(dt * 1e3, 2)
+    # mpt has a larger FFN (no gating): compare per-GB streamed instead of
+    # absolute — report the ratio for the gate
+    out["mpt_vs_llama"] = round(dt / dt0, 3)
+
+    g2 = dataclasses.replace(
+        LLAMA2_7B, arch="gemma2", sliding_window=1024, attn_softcap=50.0,
+        logit_softcap=30.0)
+    params = rand_params(g2, qcfg)
+    # per-layer alternating sliding flags (gemma-2: every other layer)
+    params["layers"]["use_sliding"] = jnp.asarray(
+        [l % 2 == 0 for l in range(g2.n_layers)])
+    dt = slope_decode(params, g2)
+    out["gemma2_7bshape_sliding_next_token_ms"] = round(dt * 1e3, 2)
+    out["gemma2_vs_llama"] = round(dt / dt0, 3)
+    return {"config": "alibi_sliding_kernel_coverage", **out}
 
 
 def cfg3_server():
@@ -167,7 +208,8 @@ def cfg4_qwen_oddbit():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*",
-                    default=["mistral-gptq", "qwen-oddbit", "server"])
+                    default=["mistral-gptq", "qwen-oddbit", "server",
+                             "alibi-sliding"])
     args = ap.parse_args()
     if os.environ.get("NTPU_BENCH_TINY"):  # CPU smoke test of the harness
         import dataclasses
@@ -181,7 +223,7 @@ def main():
             bench.LLAMA2_7B, **dict(tiny, n_kv_heads=4))
         globals()["LLAMA2_7B"] = bench.LLAMA2_7B
     fns = {"mistral-gptq": cfg2_mistral_gptq, "server": cfg3_server,
-           "qwen-oddbit": cfg4_qwen_oddbit}
+           "qwen-oddbit": cfg4_qwen_oddbit, "alibi-sliding": cfg5_alibi_sliding}
     if len(args.configs) > 1 and not os.environ.get("NTPU_SUBPROC"):
         # one fresh process per config: a prior 7B model's HBM
         # fragmentation OOMs the next one on the 16 GB chip

@@ -23,20 +23,24 @@ VARIANTS = {
     "q4_g128_asym": QuantConfig(bits=4, group_size=128, sym=False),
     "q4_g128_asym_perm": QuantConfig(bits=4, group_size=128, sym=False),
     "q4_g128_sym_perm": QuantConfig(bits=4, group_size=128, sym=True),
+    "q4_g128_asym_perm_shared": QuantConfig(bits=4, group_size=128,
+                                            sym=False),
+    "q4_g128_sym_perm_shared": QuantConfig(bits=4, group_size=128,
+                                           sym=True),
     "q3_g32": QuantConfig(bits=3, group_size=32, sym=True),
     "q5_g32": QuantConfig(bits=5, group_size=32, sym=True),
     "q8_g32": QuantConfig(bits=8, group_size=32, sym=True),
 }
 
 
-def rand_params(qcfg, perm=False):
+def rand_params(qcfg, perm=False, shared=False):
     name = "__v"
     PRESETS[name] = qcfg
     try:
         params = bench.rand_quant_params(cfg, quant=name)
     finally:
         del PRESETS[name]
-    if perm:
+    if perm and not shared:
         rng = np.random.default_rng(0)
 
         def add_perm(qt):
@@ -51,6 +55,26 @@ def rand_params(qcfg, perm=False):
                                    is_leaf=lambda x: isinstance(x, QTensor))
                       if k == "layers" else add_perm(v))
                   for k, v in params.items()}
+    elif perm and shared:
+        # the REAL GPTQ act-order shape: q/k/v share one g_idx (same
+        # Hessian), gate/up share one, w_down's perm folds at import →
+        # fuse_layer_weights leaves 3 gathers/layer (wqkv, wo, w_gateup)
+        from neural_tpu.runtime.generate import fuse_layer_weights
+        rng = np.random.default_rng(0)
+        layers = dict(params["layers"])
+        L = layers["wq"].planes[0].shape[0]
+        pq = jnp.asarray(np.stack([rng.permutation(cfg.hidden_size)
+                                   for _ in range(L)]), jnp.int32)
+        pg = jnp.asarray(np.stack([rng.permutation(cfg.hidden_size)
+                                   for _ in range(L)]), jnp.int32)
+        po = jnp.asarray(np.stack([rng.permutation(cfg.hidden_size)
+                                   for _ in range(L)]), jnp.int32)
+        for n, p in (("wq", pq), ("wk", pq), ("wv", pq), ("wo", po),
+                     ("w_gate", pg), ("w_up", pg)):
+            qt = layers[n]
+            layers[n] = QTensor(qt.planes, qt.scales, qt.zeros, p, qt.cfg)
+        params = dict(params, layers=layers)
+        params = fuse_layer_weights(params, cfg)
     return params
 
 
@@ -78,7 +102,8 @@ def main():
     for name in which:
         qcfg = VARIANTS[name]
         t0 = time.time()
-        params = rand_params(qcfg, perm=name.endswith("perm"))
+        params = rand_params(qcfg, perm="perm" in name,
+                             shared=name.endswith("shared"))
         dt = slope(params)
         print(f"{name:18s}: {dt*1e3:6.2f} ms/tok   (setup {time.time()-t0:.0f}s)",
               flush=True)

@@ -162,3 +162,132 @@ def test_flash_prefill_window_softcap():
     np.testing.assert_allclose(
         np.asarray(out).reshape(ref.shape), np.asarray(ref),
         atol=3e-2, rtol=3e-2)
+
+
+def test_flash_decode_alibi():
+    """Fused ALiBi bias in the decode kernel vs oracle (MPT/BLOOM path)."""
+    from neural_tpu.ops.rope import alibi_slopes
+    q, k, v, pos = mk_case(Hq=8, Hkv=8, length=300)
+    slopes = alibi_slopes(8)
+    cfg = cfg_for(Hkv=8, use_alibi=True, rope_style="none")
+    ref = attend_xla(q, k, v, None, None, pos, cfg, slopes=slopes)
+    out = flash_decode(q[:, 0], k, v, None, None, lengths=pos[:, 0] + 1,
+                       slopes=slopes, interpret=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_decode_alibi_gqa():
+    from neural_tpu.ops.rope import alibi_slopes
+    q, k, v, pos = mk_case(Hq=8, Hkv=4, length=200)
+    slopes = alibi_slopes(8)
+    cfg = cfg_for(Hkv=4, use_alibi=True, rope_style="none")
+    ref = attend_xla(q, k, v, None, None, pos, cfg, slopes=slopes)
+    out = flash_decode(q[:, 0], k, v, None, None, lengths=pos[:, 0] + 1,
+                       slopes=slopes, interpret=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_decode_dynamic_window():
+    """window passed as a TRACED scalar (Gemma-2 per-layer sliding)."""
+    q, k, v, pos = mk_case(length=400)
+    cfg = cfg_for(sliding_window=128)
+    ref = attend_xla(q, k, v, None, None, pos, cfg)
+
+    out = flash_decode(q[:, 0], k, v, None, None, lengths=pos[:, 0] + 1,
+                       window=jnp.int32(128), interpret=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+    # window=0 (traced) == full-context
+    cfg0 = cfg_for()
+    ref0 = attend_xla(q, k, v, None, None, pos, cfg0)
+    out0 = flash_decode(q[:, 0], k, v, None, None, lengths=pos[:, 0] + 1,
+                        window=jnp.int32(0), interpret=True)
+    np.testing.assert_allclose(np.asarray(out0).reshape(ref0.shape),
+                               np.asarray(ref0), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_decode_window_int8_kv():
+    """sliding window + int8 KV together (DMA-elision clamp interplay)."""
+    q, k, v, pos = mk_case(length=400)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ks8 = jnp.broadcast_to(ks[:, :, None, :], (*ks.shape[:2], 8, ks.shape[2]))
+    vs8 = jnp.broadcast_to(vs[:, :, None, :], (*vs.shape[:2], 8, vs.shape[2]))
+    cfg = cfg_for(sliding_window=160)
+    ref = attend_xla(q, kq, vq, ks8, vs8, pos, cfg)
+    out = flash_decode(q[:, 0], kq, vq, ks8, vs8, lengths=pos[:, 0] + 1,
+                       window=160, blk_s=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_prefill_int8_kv():
+    """int8-KV prefill kernel vs the int8 oracle (BASELINE config 2)."""
+    from neural_tpu.ops.attention import flash_prefill
+    B, Hq, Hkv, Dh, S, T, start = 2, 8, 4, 128, 512, 128, 57
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32))
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ks8 = jnp.broadcast_to(ks[:, :, None, :], (*ks.shape[:2], 8, ks.shape[2]))
+    vs8 = jnp.broadcast_to(vs[:, :, None, :], (*vs.shape[:2], 8, vs.shape[2]))
+    positions = start + jnp.arange(T)[None, :].astype(jnp.int32) \
+        * jnp.ones((B, 1), jnp.int32)
+    cfg = cfg_for(Hkv=Hkv)
+    ref = attend_xla(q, kq, vq, ks8, vs8, positions, cfg)
+    out = flash_prefill(q, kq, vq, ks8, vs8,
+                        starts=jnp.full((B,), start, jnp.int32),
+                        blk_t=128, blk_s=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref),
+        atol=5e-2, rtol=5e-2)
+
+
+def test_flash_prefill_alibi():
+    from neural_tpu.ops.attention import flash_prefill
+    from neural_tpu.ops.rope import alibi_slopes
+    B, Hq, Hkv, Dh, S, T = 2, 8, 8, 128, 512, 256
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)), jnp.bfloat16)
+    slopes = alibi_slopes(Hq)
+    positions = jnp.arange(T)[None, :].astype(jnp.int32) \
+        * jnp.ones((B, 1), jnp.int32)
+    cfg = cfg_for(Hkv=Hkv, use_alibi=True, rope_style="none")
+    ref = attend_xla(q, k, v, None, None, positions, cfg, slopes=slopes)
+    out = flash_prefill(q, k, v, starts=jnp.zeros((B,), jnp.int32),
+                        slopes=slopes, blk_t=128, blk_s=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_attend_dispatch_alibi_sliding_pallas():
+    """attend() must route ALiBi decode + per-layer traced sliding through
+    the Pallas kernel (interpret mode) and match the XLA reference."""
+    from neural_tpu.ops.rope import alibi_slopes
+    q, k, v, pos = mk_case(Hq=8, Hkv=8, length=300)
+    q = q  # [B, 1, Hq, Dh]
+    slopes = alibi_slopes(8)
+    cfg = cfg_for(Hkv=8, use_alibi=True, rope_style="none")
+    ref = attend(q, k, v, None, None, pos, cfg, slopes=slopes, force="xla")
+    out = attend(q, k, v, None, None, pos, cfg, slopes=slopes,
+                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+    # per-layer sliding: traced flag True/False vs static equivalents
+    for flag in (True, False):
+        cfg_s = cfg_for(sliding_window=128)
+        sliding = jnp.asarray(flag)
+        ref = attend(q, k, v, None, None, pos, cfg_s, sliding=sliding,
+                     force="xla")
+        out = attend(q, k, v, None, None, pos, cfg_s, sliding=sliding,
+                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)

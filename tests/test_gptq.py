@@ -163,3 +163,71 @@ def test_fold_act_order_exact():
     fold_act_order(per_layer, cfg)
     assert per_layer["w_down"][0].perm is None
     np.testing.assert_allclose(mlp(per_layer), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_concat_n_shared_perm():
+    """Equal-perm QTensors fuse along N; the fused matmul (one shared
+    activation gather) must match the per-tensor results exactly."""
+    import jax.numpy as jnp
+    from neural_tpu.core.dtypes import PRESETS
+    from neural_tpu.core.qtensor import QTensor, quantize, concat_n, matmul_ref
+    rng = np.random.default_rng(11)
+    K = 256
+    perm = jnp.asarray(rng.permutation(K).astype(np.int32))
+    qts = []
+    for i in range(3):
+        w = rng.standard_normal((K, 128)).astype(np.float32)
+        qt = quantize(jnp.asarray(w)[perm], PRESETS["q4_0"])
+        qts.append(QTensor(qt.planes, qt.scales, qt.zeros, perm, qt.cfg))
+    fused = concat_n(qts)
+    assert fused.perm is not None and fused.N == 3 * 128
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    got = np.asarray(matmul_ref(x, fused))
+    want = np.concatenate([np.asarray(matmul_ref(x, q)) for q in qts], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fuse_layer_weights_act_order():
+    import jax
+    """fuse_layer_weights fuses equal-perm act-order projections and the
+    fused forward matches the unfused one."""
+    import jax.numpy as jnp
+    from neural_tpu.core.dtypes import PRESETS
+    from neural_tpu.core.qtensor import QTensor, quantize
+    from neural_tpu.models.config import ModelConfig
+    from neural_tpu.runtime.generate import fuse_layer_weights
+    from neural_tpu.runtime import init_cache, model_step
+    from neural_tpu.convert import init_random
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      n_layers=2, n_heads=4, n_kv_heads=4, head_dim=32,
+                      intermediate_size=256, max_seq_len=64)
+    params = init_random(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+
+    def q_with_perm(w, perm):
+        qt = quantize(jnp.asarray(np.asarray(w, np.float32))[perm],
+                      PRESETS["q4_1"])
+        return QTensor(qt.planes, qt.scales, qt.zeros,
+                       jnp.asarray(perm), qt.cfg)
+
+    layers = dict(params["layers"])
+    L = layers["wq"].shape[0]
+    perm_qkv = np.stack([rng.permutation(128) for _ in range(L)])
+    perm_gu = np.stack([rng.permutation(128) for _ in range(L)])
+    for name, perms in (("wq", perm_qkv), ("wk", perm_qkv),
+                        ("wv", perm_qkv), ("w_gate", perm_gu),
+                        ("w_up", perm_gu)):
+        per = [q_with_perm(layers[name][l], perms[l]) for l in range(L)]
+        layers[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+    params = dict(params, layers=layers)
+    fused = fuse_layer_weights(params, cfg)
+    assert "wqkv" in fused["layers"] and "w_gateup" in fused["layers"]
+    assert fused["layers"]["wqkv"].perm is not None
+
+    toks = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    start = jnp.zeros((1,), jnp.int32)
+    l0, _ = model_step(params, toks, start, init_cache(cfg, 1, 32), cfg)
+    l1, _ = model_step(fused, toks, start, init_cache(cfg, 1, 32), cfg)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               rtol=2e-2, atol=2e-2)
