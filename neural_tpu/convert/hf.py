@@ -45,7 +45,7 @@ register_arch(["phi", "phi3"], phi)
 register_arch(["gemma", "gemma2"], gemma)
 register_arch(["stablelm"], stablelm)
 register_arch(["baichuan"], baichuan)
-register_arch(["chatglm"], chatglm)
+register_arch(["chatglm", "chatglm1"], chatglm)
 register_arch(["grok", "grok-1"], grok)
 
 

@@ -238,7 +238,7 @@ def _attend_nocache(q, kt, vt, positions, cfg: ModelConfig, slopes=None,
 
 def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
                lidx, start, positions, inv_freqs, slopes, tp_axis=None,
-               sliding=None, table=None, sp_axis=None):
+               sliding=None, table=None, sp_axis=None, prompt_len=None):
     """x: [B, T, D]; k_all/v_all: FULL stacked caches [L, B, Hkv, S, Dh]
     (head-major, bf16 or int8 with scales [L, B, Hkv, 8, S]); ``lidx`` is
     this layer's index; start: [B] int32.
@@ -279,7 +279,12 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         q = rms_norm(q, lp["q_norm_w"], cfg.norm_eps)
         k = rms_norm(k, lp["k_norm_w"], cfg.norm_eps)
 
-    if cfg.rope_style != "none":
+    if cfg.rope_style == "glm1":
+        # ChatGLM v1's 2-D GLM RoPE (position + generation-block halves)
+        from ..ops.rope import apply_rope_glm1
+        q = apply_rope_glm1(q, positions, prompt_len, inv_freqs)
+        k = apply_rope_glm1(k, positions, prompt_len, inv_freqs)
+    elif cfg.rope_style != "none":
         cos, sin = rope_cos_sin(positions, inv_freqs)  # [B, T, d/2]
         q = apply_rope(q, cos, sin, cfg.rope_style, cfg.rope_dim)
         k = apply_rope(k, cos, sin, cfg.rope_style, cfg.rope_dim)
@@ -350,7 +355,9 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     # caches stay STACKED: the Pallas decode kernel streams layer lidx
     # directly; the XLA fallback slices inside attend (fused, no copy).
     out = attend(q, k_all, v_all, ks_all, vs_all, positions, cfg,
-                 slopes=slopes, sliding=sliding, lidx=lidx).astype(x.dtype)
+                 slopes=slopes, sliding=sliding, lidx=lidx,
+                 prefix_len=prompt_len if cfg.prefix_lm else None
+                 ).astype(x.dtype)
     # wo is row-split under TP → partial sums; one psum here is the
     # reference's post-attention ne_all_reduce (llama.cpp:592).
     out = linear(out, lp["wo"], lidx=lidx)
@@ -362,16 +369,25 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
 
 def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
            lidx, start, positions, inv_freqs, slopes, tp_axis=None,
-           table=None, sp_axis=None, ep_axis=None):
+           table=None, sp_axis=None, ep_axis=None, prompt_len=None):
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
     attn_out, k_all, v_all, ks_all, vs_all = _attention(
         h, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start, positions,
         inv_freqs, slopes, tp_axis, sliding=lp.get("use_sliding"),
-        table=table, sp_axis=sp_axis)
+        table=table, sp_axis=sp_axis, prompt_len=prompt_len)
     if cfg.post_attn_norm:
         attn_out = _norm(attn_out, lp["post_attn_norm_w"],
                          lp.get("post_attn_norm_b"), cfg)
-    if cfg.parallel_residual:
+    if cfg.residual_alpha != 1.0:
+        # ChatGLM v1 / GLM DeepNorm-style residuals: the NORMED branch
+        # input (scaled by alpha = sqrt(2L)) is the residual base, not x
+        # (reference: chatglm.cpp:237-238, 263-264 ne_scale alpha).
+        alpha = jnp.asarray(cfg.residual_alpha, x.dtype)
+        x = h * alpha + attn_out
+        h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg)
+        mlp_out = _mlp(h2, lp, cfg, tp_axis, lidx, ep_axis)
+        x = h2 * alpha + mlp_out
+    elif cfg.parallel_residual:
         # gptj/gptneox/phi: mlp(norm2(x)) + attn(norm1(x)) + x;
         # gptj shares one norm (params tie attn/ffn norm at conversion).
         h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), cfg) \
@@ -391,7 +407,8 @@ def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
 def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             cache: Tuple[jnp.ndarray, jnp.ndarray], cfg: ModelConfig,
             logits_dtype=jnp.float32, tp_axis: Optional[str] = None,
-            sp_axis: Optional[str] = None, ep_axis: Optional[str] = None):
+            sp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
+            prompt_len: Optional[jnp.ndarray] = None):
     """Run the decoder.
 
     tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
@@ -399,9 +416,12 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     head-major [L, B, Hkv, S, Dh] k/v (+ scales if int8), or None for the
     cache-free full-sequence path (training / sp ring attention — with
     ``sp_axis`` set, tokens are the rank's sequence shard and ``start``
-    must already include the shard offset). Returns (logits [B, T, V],
-    new_cache). Analog of model_eval (llama.cpp:790) for prefill and
-    decode alike.
+    must already include the shard offset). ``prompt_len`` [B]: the
+    per-request prompt size, required by prefix-LM archs (ChatGLM v1 —
+    2-D GLM RoPE anchor + bidirectional-prefix mask); defaults to
+    start+T on the first call (prefill) when omitted. Returns
+    (logits [B, T, V], new_cache). Analog of model_eval (llama.cpp:790)
+    for prefill and decode alike.
     """
     from ..runtime.kvcache import KVCache
     if cache is None:
@@ -413,6 +433,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
         table = getattr(cache, "table", None)  # paged pool (runtime/paged.py)
     B, T = tokens.shape
     positions = start[:, None] + jnp.arange(T)[None, :]        # [B, T]
+    if (cfg.prefix_lm or cfg.rope_style == "glm1") and prompt_len is None:
+        prompt_len = start + T   # prefill convention: the whole call is the prompt
 
     x = jnp.take(params["embed"], tokens, axis=0)              # [B, T, D]
     x = x.astype(jnp.bfloat16)
@@ -456,7 +478,7 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all,
                 jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis,
-                table, sp_axis, ep_axis)
+                table, sp_axis, ep_axis, prompt_len)
     else:
         layers = params["layers"]
         L = jax.tree.leaves(layers)[0].shape[0]
@@ -467,7 +489,7 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
                 positions, inv_freqs, slopes, tp_axis, table, sp_axis,
-                ep_axis)
+                ep_axis, prompt_len)
             return (x, k_all, v_all, ks_all, vs_all), None
 
         (x, k_all, v_all, ks_all, vs_all), _ = jax.lax.scan(

@@ -404,10 +404,10 @@ def attend(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
             window=window,
             scale=(cfg.attn_scale if cfg.attn_scale is not None
                    else Dh ** -0.5),
-            interpret=interpret)
+            interpret=interpret, prefix_len=prefix_len)
         return out[:, :T].reshape(B, T, Hq * Dh)
     return attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
-                      slopes, sliding)
+                      slopes, sliding, prefix_len=prefix_len)
 
 
 # ---------------------------------------------------------------------------
