@@ -19,9 +19,13 @@ from .runtime.sampling import SamplingParams
 
 
 def _to_id_list(x) -> List[List[int]]:
-    """Accept list[int], list[list[int]], numpy, or torch tensors."""
+    """Accept list[int], list[list[int]] (possibly ragged), numpy, or torch
+    tensors."""
     if hasattr(x, "detach"):      # torch tensor
         x = x.detach().cpu().numpy()
+    if isinstance(x, (list, tuple)) and x and \
+            isinstance(x[0], (list, tuple, np.ndarray)):
+        return [list(map(int, row)) for row in x]
     a = np.asarray(x)
     if a.ndim == 1:
         a = a[None]
@@ -233,6 +237,25 @@ class Model:
         if streamer is not None:
             assert len(rows) == 1, "Streamer only supports batch size 1."
             assert num_beams == 1, "can not use streamer with beam search"
+        if (len(rows) > 1 and num_beams == 1 and not hooked
+                and not streaming):
+            # batched path: one padded prefill + one on-device decode loop
+            # for all rows (reference batch __call__ padding + continuous-
+            # batching de-pad, __init__.py:439-483); ~B× aggregate decode
+            # throughput vs the row-wise loop.
+            from .runtime.generate import batched_generate
+            sp = SamplingParams(
+                greedy=not do_sample, temperature=temperature, top_k=top_k,
+                top_p=top_p, repeat_penalty=repetition_penalty)
+            with maybe_trace("generate"), \
+                    timings.phase("decode", tokens=max_new_tokens * len(rows)):
+                outs = batched_generate(
+                    self.params, self.cfg, rows, sp, max_new_tokens,
+                    max_len, seed, stop_at_eos)
+            if ignore_prompt:
+                outs = [o[len(r):] for o, r in zip(outs, rows)]
+            timings.print_if_verbose()
+            return outs
         outs = []
         for ids in rows:
             if num_beams > 1 and not do_sample:
@@ -415,12 +438,17 @@ class Model:
         return wh.transcribe_ids(self.params, self.cfg, mel, prompt,
                                  max_new_tokens)
 
-    def __call__(self, input_ids, **kw):
-        """Teacher-forced logits (reference Model.__call__ __init__.py:439)."""
+    def __call__(self, input_ids, pad_token: int = 0):
+        """Teacher-forced logits (reference Model.__call__ __init__.py:439).
+
+        Ragged batches are right-padded with ``pad_token`` like the
+        reference's batch padding (__init__.py:439-481); logits at pad
+        positions (beyond each row's real length) are computed on pad
+        inputs and should be ignored by the caller."""
         from .runtime.generate import batch_logits
         rows = _to_id_list(input_ids)
         T = max(len(r) for r in rows)
-        assert all(len(r) == T for r in rows), \
-            "ragged batches: pad or call row-wise"
-        return np.asarray(batch_logits(
-            self.params, self.cfg, np.asarray(rows, np.int32)))
+        padded = np.full((len(rows), T), pad_token, np.int32)
+        for b, r in enumerate(rows):
+            padded[b, :len(r)] = r
+        return np.asarray(batch_logits(self.params, self.cfg, padded))

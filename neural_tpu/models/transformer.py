@@ -408,7 +408,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             cache: Tuple[jnp.ndarray, jnp.ndarray], cfg: ModelConfig,
             logits_dtype=jnp.float32, tp_axis: Optional[str] = None,
             sp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
-            prompt_len: Optional[jnp.ndarray] = None):
+            prompt_len: Optional[jnp.ndarray] = None,
+            logit_positions: Optional[jnp.ndarray] = None):
     """Run the decoder.
 
     tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
@@ -419,9 +420,13 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     must already include the shard offset). ``prompt_len`` [B]: the
     per-request prompt size, required by prefix-LM archs (ChatGLM v1 —
     2-D GLM RoPE anchor + bidirectional-prefix mask); defaults to
-    start+T on the first call (prefill) when omitted. Returns
-    (logits [B, T, V], new_cache). Analog of model_eval (llama.cpp:790)
-    for prefill and decode alike.
+    start+T on the first call (prefill) when omitted. ``logit_positions``
+    [B]: per-row token index whose logits are wanted (ragged batched
+    prefill); the lm_head then runs on [B, 1, D] instead of [B, T, D] —
+    for a 2k prompt that skips ~0.5 TFLOP of dead vocab matmul and the
+    [B, T, V] f32 materialization. Returns (logits [B, T, V] — or
+    [B, 1, V] with logit_positions — , new_cache). Analog of model_eval
+    (llama.cpp:790) for prefill and decode alike.
     """
     from ..runtime.kvcache import KVCache
     if cache is None:
@@ -497,6 +502,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
 
     if cfg.final_norm:
         x = _norm(x, params["final_norm_w"], params.get("final_norm_b"), cfg)
+    if logit_positions is not None:
+        x = x[jnp.arange(B)[:, None], logit_positions[:, None]]  # [B, 1, D]
     lm_head = params.get("lm_head")
     if lm_head is None:  # tied embeddings
         logits = jnp.dot(x.astype(jnp.bfloat16),

@@ -298,28 +298,121 @@ def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
          donate_argnums=(3,))
 def sample_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
                 sampling: SamplingParams, key, history,
-                fill_hint: Optional[int] = None):
+                history_valid=None, fill_hint: Optional[int] = None):
     """On-device sampled decode: like decode_loop but with the full sampling
     pipeline per step. ``history`` [B, repeat_last_n] carries the recent
-    tokens for penalties (a ring updated on-device)."""
+    tokens for penalties (a ring updated on-device); ``history_valid``
+    [B, repeat_last_n] bool marks real entries (ragged prompt tails padded
+    on the LEFT seed it with False at the pads)."""
     cfg = pick_decode_blk(cfg, fill_hint)
     B = token.shape[0]
     state = SamplerState.init(B, sampling)
     params = prepare_params(params)
+    penalties = sampling.repeat_last_n > 0
+    if history_valid is None:
+        history_valid = jnp.ones(history.shape, bool)
 
     def body(carry, key):
-        token, pos, cache, state, history = carry
+        token, pos, cache, state, history, hvalid = carry
         logits, cache = forward(params, token, pos, cache, cfg,
                                 logits_dtype=jnp.float32)
         tok, state = sample(logits[:, -1], key, sampling, state,
-                            prev_tokens=history)
+                            prev_tokens=history if penalties else None,
+                            prev_valid=hvalid if penalties else None)
         history = jnp.concatenate([history[:, 1:], tok[:, None]], axis=1)
-        return (tok[:, None], pos + 1, cache, state, history), tok
+        hvalid = jnp.concatenate(
+            [hvalid[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        return (tok[:, None], pos + 1, cache, state, history, hvalid), tok
 
     keys = jax.random.split(key, n_steps)
-    (token, pos, cache, state, history), toks = jax.lax.scan(
-        body, (token, pos, cache, state, history), keys)
+    (token, pos, cache, state, history, history_valid), toks = jax.lax.scan(
+        body, (token, pos, cache, state, history, history_valid), keys)
     return toks, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _prefill_ragged(params, tokens, lens, cache, cfg: ModelConfig):
+    """Right-padded batched prefill: tokens [B, Tmax] with per-row real
+    lengths ``lens`` [B]. Returns each row's last-real-token logits [B, V]
+    and the cache. Pad positions write junk keys at offsets >= lens[b];
+    they are never attended (the decode mask is bounded by the per-row
+    position) and are overwritten one-per-step as decode advances —
+    the same invariant as the serving scheduler's bucketed prefill
+    (reference batch padding: neural_speed/__init__.py:439-483)."""
+    logits, cache = forward(params, tokens, jnp.zeros(tokens.shape[:1],
+                                                      jnp.int32),
+                            cache, cfg, prompt_len=lens,
+                            logit_positions=lens - 1)
+    return logits[:, 0], cache
+
+
+def batched_generate(params, cfg: ModelConfig, rows, sampling=None,
+                     max_new_tokens: int = 128,
+                     max_len: Optional[int] = None, seed: int = 0,
+                     stop_at_eos: bool = True):
+    """Ragged multi-prompt generation: ONE padded prefill dispatch + ONE
+    on-device decode loop for all rows (the reference batch path pads and
+    de-pads around a batched model_eval, __init__.py:439-483 +
+    _cont_batching_input). Returns full id lists per row, truncated at the
+    first EOS when ``stop_at_eos``.
+
+    Decode cost per step is one [B, 1] model step — at batch 8 this is the
+    same weight stream as batch 1, so aggregate throughput scales ~B× until
+    attention/KV reads dominate."""
+    sampling = sampling or SamplingParams()
+    B = len(rows)
+    lens = np.asarray([len(r) for r in rows], np.int32)
+    Tmax = int(lens.max())
+    S = max_len or min(cfg.max_seq_len, Tmax + max_new_tokens)
+    if Tmax + max_new_tokens > S:
+        raise ValueError(f"context overflow: {Tmax}+{max_new_tokens} > {S}")
+    toks = np.zeros((B, Tmax), np.int32)
+    for b, r in enumerate(rows):
+        toks[b, :len(r)] = r
+    cache = init_cache(cfg, B, S)
+    jlens = jnp.asarray(lens)
+    logits, cache = _prefill_ragged(params, jnp.asarray(toks), jlens, cache,
+                                    cfg)
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    rl = max(sampling.repeat_last_n, 0)
+    state = SamplerState.init(B, sampling)
+    if rl > 0:
+        hist = np.zeros((B, rl), np.int32)
+        valid = np.zeros((B, rl), bool)
+        for b, r in enumerate(rows):
+            tail = list(r)[-rl:]
+            if tail:
+                hist[b, -len(tail):] = tail
+                valid[b, -len(tail):] = True
+        hist, valid = jnp.asarray(hist), jnp.asarray(valid)
+        tok0, state = sample(logits, sub, sampling, state,
+                             prev_tokens=hist, prev_valid=valid)
+    else:
+        hist = jnp.zeros((B, 1), jnp.int32)
+        valid = jnp.zeros((B, 1), bool)
+        tok0, state = sample(logits, sub, sampling, state)
+
+    new = np.asarray(tok0)[:, None]
+    if max_new_tokens > 1:
+        hist = jnp.concatenate([hist[:, 1:], tok0[:, None]], axis=1)
+        valid = jnp.concatenate(
+            [valid[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        rest, cache = sample_loop(
+            params, tok0[:, None], jlens, cache, cfg, max_new_tokens - 1,
+            sampling, key, hist, valid,
+            fill_hint=Tmax + max_new_tokens)
+        new = np.concatenate([new, np.asarray(rest).T], axis=1)
+
+    outs = []
+    for b, r in enumerate(rows):
+        budget = min(max_new_tokens, S - len(r))
+        ids = new[b, :budget].tolist()
+        if stop_at_eos and cfg.eos_token_id in ids:
+            ids = ids[:ids.index(cfg.eos_token_id) + 1]
+        outs.append(list(r) + ids)
+    return outs
 
 
 def batch_logits(params, cfg: ModelConfig, input_ids: np.ndarray,

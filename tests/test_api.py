@@ -295,3 +295,56 @@ def test_session_file_prefix_reuse(tmp_path, small_model=None):
     got4 = m.generate(other, max_new_tokens=6, max_len=64,
                       repetition_penalty=1.0, session_file=sess)[0]
     assert got4 == fresh_o
+
+
+def test_batched_generate_matches_rowwise():
+    """Batched ragged generate (one padded prefill + one on-device decode
+    loop) must produce the same greedy ids as the row-wise loop, with
+    correct de-padding per row."""
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype=None,
+                                      dtype="float32")
+    prompts = [[3, 17, 91], [5, 6], [9, 1, 2, 44, 7]]
+    ref = [m.generate([p], max_new_tokens=6, stop_at_eos=False)[0]
+           for p in prompts]
+    got = m.generate(prompts, max_new_tokens=6, stop_at_eos=False)
+    assert got == [r[0] for r in zip(ref)] or got == ref
+    # ignore_prompt de-pads correctly
+    got_np = m.generate(prompts, max_new_tokens=6, stop_at_eos=False,
+                        ignore_prompt=True)
+    assert got_np == [r[len(p):] for r, p in zip(ref, prompts)]
+    # sampled batched path: right shapes, deterministic under a seed
+    s1 = m.generate(prompts, max_new_tokens=5, do_sample=True, seed=7,
+                    stop_at_eos=False)
+    s2 = m.generate(prompts, max_new_tokens=5, do_sample=True, seed=7,
+                    stop_at_eos=False)
+    assert s1 == s2
+    assert [len(s) for s in s1] == [len(p) + 5 for p in prompts]
+
+
+def test_batched_generate_eos_truncation():
+    """Rows that hit EOS stop at it; others run to max_new_tokens."""
+    import jax.numpy as jnp
+    from neural_tpu.convert import init_random
+    from neural_tpu.models.config import ModelConfig
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=64,
+                      n_layers=2, n_heads=4, n_kv_heads=4, head_dim=16,
+                      intermediate_size=128, max_seq_len=64,
+                      eos_token_id=0)
+    m = nt.Model()
+    m.params, m.cfg = init_random(cfg, dtype=jnp.float32), cfg
+    prompts = [[3, 14, 15], [9, 2, 6, 5]]
+    ref = [m.generate([p], max_new_tokens=8, repetition_penalty=1.0)[0]
+           for p in prompts]
+    got = m.generate(prompts, max_new_tokens=8, repetition_penalty=1.0)
+    assert got == ref
+
+
+def test_call_ragged_padding():
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype=None,
+                                      dtype="float32")
+    rows = [[3, 17, 91], [5, 6]]
+    logits = m(rows)
+    assert logits.shape == (2, 3, 256)
+    # row 1's valid positions match its solo eval
+    solo = m([[5, 6]])
+    np.testing.assert_allclose(logits[1, :2], solo[0], atol=2e-4)
