@@ -37,14 +37,14 @@ from .generate import model_step
 from .sampling import SamplingParams, SamplerState, sample
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard"),
-         donate_argnums=(0,))
-def shift_cache(cache: KVCache, inv_freqs, cfg: ModelConfig,
-                n_keep: int, n_discard: int) -> KVCache:
+def shift_cache_impl(cache: KVCache, inv_freqs, cfg: ModelConfig,
+                     n_keep: int, n_discard: int) -> KVCache:
     """Compact a FULL cache: [sink | dropped | moved] → [sink | moved | 0].
 
     K entries in ``moved`` are rotated by -n_discard RoPE steps so their
-    stored rotation matches their new absolute positions.
+    stored rotation matches their new absolute positions. Traceable body
+    (no jit) so the serving scheduler can apply it to a single sliced
+    slot inside its own jitted update.
     """
     k, v, ks, vs = cache
     S = k.shape[3]
@@ -100,6 +100,13 @@ def shift_cache(cache: KVCache, inv_freqs, cfg: ModelConfig,
     else:
         ks_new = vs_new = None
     return KVCache(k_new, v_new, ks_new, vs_new)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard"),
+         donate_argnums=(0,))
+def shift_cache(cache: KVCache, inv_freqs, cfg: ModelConfig,
+                n_keep: int, n_discard: int) -> KVCache:
+    return shift_cache_impl(cache, inv_freqs, cfg, n_keep, n_discard)
 
 
 def stream_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],

@@ -50,6 +50,7 @@ class Sequence:
     sampling: Optional[SamplingParams] = None   # per-request override
     status: SeqStatus = SeqStatus.WAITING
     slot: int = -1
+    prefill_pos: int = 0   # tokens already prefilled (chunked prefill)
     output_ids: List[int] = dataclasses.field(default_factory=list)
     receive_time: float = dataclasses.field(default_factory=time.time)
     first_token_time: Optional[float] = None
@@ -89,17 +90,19 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 @partial(jax.jit, static_argnames=("cfg", "T"), donate_argnums=(2,))
-def _prefill_slot(params, tokens, cache: KVCache, slot, cfg: ModelConfig,
-                  T: int):
-    """Prefill one sequence into cache slot ``slot``. tokens [1, T] padded
-    on the RIGHT; returns last-real-token logits and the updated cache.
-    Writes only slot rows (batch-sliced views keep other slots intact)."""
+def _prefill_slot(params, tokens, cache: KVCache, slot, start, plen,
+                  cfg: ModelConfig, T: int):
+    """Prefill one CHUNK of a sequence into cache slot ``slot``. tokens
+    [1, T] padded on the RIGHT, written at cache offset ``start`` [1]
+    (0 for single-shot prefill, the chunk offset under chunked prefill);
+    ``plen`` [1] is the full prompt length (prefix-LM mask bound). Returns
+    the chunk's logits and the updated cache. Writes only slot rows
+    (batch-sliced views keep other slots intact)."""
     params = prepare_params(params)
     sub = KVCache(*(None if c is None else
                     jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1)
                     for c in cache))
-    logits, sub = forward(params, tokens, jnp.zeros((1,), jnp.int32), sub,
-                          cfg)
+    logits, sub = forward(params, tokens, start, sub, cfg, prompt_len=plen)
     cache = KVCache(*(None if c is None else
                       jax.lax.dynamic_update_slice_in_dim(c, s, slot, axis=1)
                       for c, s in zip(cache, sub)))
@@ -107,17 +110,33 @@ def _prefill_slot(params, tokens, cache: KVCache, slot, cfg: ModelConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "T"), donate_argnums=(2,))
-def _prefill_slot_paged(params, tokens, cache: PagedKVCache, slot,
-                        cfg: ModelConfig, T: int):
-    """Paged prefill: the page POOL is shared, so only the table row is
-    sliced to batch 1 — writes land in this slot's reserved pages."""
+def _prefill_slot_paged(params, tokens, cache: PagedKVCache, slot, start,
+                        plen, cfg: ModelConfig, T: int):
+    """Paged prefill chunk: the page POOL is shared, so only the table row
+    is sliced to batch 1 — writes land in this slot's reserved pages."""
     params = prepare_params(params)
     sub = PagedKVCache(cache.k, cache.v, cache.k_scale, cache.v_scale,
                        jax.lax.dynamic_slice_in_dim(cache.table, slot, 1, 0))
-    logits, sub = forward(params, tokens, jnp.zeros((1,), jnp.int32), sub,
-                          cfg)
+    logits, sub = forward(params, tokens, start, sub, cfg, prompt_len=plen)
     return logits, PagedKVCache(sub.k, sub.v, sub.k_scale, sub.v_scale,
                                 cache.table)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_keep", "n_discard"),
+         donate_argnums=(0,))
+def _shift_slot(cache: KVCache, inv_freqs, slot, cfg: ModelConfig,
+                n_keep: int, n_discard: int):
+    """StreamingLLM compact-and-rotate for ONE slot row (reference ring-full
+    shift-RoPE, llama.cpp:106-109 / mha_dense.h:142 — per-sequence, since
+    slots fill at different rates)."""
+    from ..runtime.streaming import shift_cache_impl
+    sub = KVCache(*(None if c is None else
+                    jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1)
+                    for c in cache))
+    sub = shift_cache_impl(sub, inv_freqs, cfg, n_keep, n_discard)
+    return KVCache(*(None if c is None else
+                     jax.lax.dynamic_update_slice_in_dim(c, s, slot, axis=1)
+                     for c, s in zip(cache, sub)))
 
 
 @partial(jax.jit, static_argnames=("W",), donate_argnums=(0,))
@@ -172,11 +191,28 @@ class Scheduler:
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512,
                                                   1024, 2048),
                  kv_mode: str = "slots", page_size: int = 256,
-                 n_pages: Optional[int] = None):
+                 n_pages: Optional[int] = None,
+                 prefill_chunk: Optional[int] = 512,
+                 streaming: bool = False, n_keep: int = 4,
+                 n_discard: Optional[int] = None):
         """``kv_mode="paged"``: shared page pool + per-slot page tables
         (runtime/paged.py). ``n_pages`` sizes the pool below worst case
         (default batch·max_len/page_size); admission defers when the pool
-        can't cover a request's prompt+max_new reservation."""
+        can't cover a request's prompt+max_new reservation.
+
+        ``prefill_chunk``: long prompts prefill in chunks of this many
+        tokens, with a batched decode step interleaved after every chunk —
+        the mixed prefill+decode iteration of the reference worker
+        (scheduler.cpp:55-98) under static shapes. Bounds the decode-latency
+        spike a long prompt can inject to one chunk's prefill time. None =
+        single-shot prefill (and forced for prefix-LM archs, whose
+        bidirectional prompt mask can't be built a chunk at a time).
+
+        ``streaming=True``: StreamingLLM per-slot infinite inference —
+        when a slot's KV fills, keep ``n_keep`` sink tokens, drop
+        ``n_discard`` (default half the non-sink window) and shift-RoPE
+        the rest down (reference shift_roped_k serving path); requests may
+        then generate beyond max_len. Slots mode only."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -201,6 +237,28 @@ class Scheduler:
             self.cache = init_cache(cfg, max_batch, max_len, kv_dtype)
         self.lengths = np.zeros(max_batch, np.int64)
         self.buckets = [b for b in prefill_buckets if b <= max_len]
+        if cfg.prefix_lm or cfg.rope_style == "glm1":
+            prefill_chunk = None   # prefix mask needs the whole prompt
+        if prefill_chunk is not None and kv_mode == "paged":
+            # paged multi-token writes stream whole pages, so chunks must
+            # begin page-aligned (paged_update_kv's T>1 path)
+            prefill_chunk = -(-prefill_chunk // page_size) * page_size
+        if prefill_chunk is not None:
+            # chunk sizes must be bucket members to bound compile count
+            fit = [b for b in self.buckets
+                   if b >= min(prefill_chunk, self.buckets[-1])]
+            prefill_chunk = min(fit) if fit else None
+            if kv_mode == "paged" and prefill_chunk is not None \
+                    and prefill_chunk % page_size:
+                prefill_chunk = None   # no aligned bucket → single-shot
+        self.prefill_chunk = prefill_chunk
+        self._prefilling: Optional[Sequence] = None
+        self.streaming = streaming
+        if streaming:
+            assert kv_mode == "slots", "streaming requires kv_mode='slots'"
+            self.n_keep = n_keep
+            self.n_discard = n_discard or (max_len - n_keep) // 2
+            self.inv_freqs = params.get("rope_inv_freqs")
         self.waiting: deque[Sequence] = deque()
         self.running: Dict[int, Sequence] = {}     # slot → seq
         self.finished: List[Sequence] = []
@@ -221,8 +279,12 @@ class Scheduler:
         runs beam search *inside* the batched scheduler step (reference
         scheduler.cpp:99-148): the request takes num_beams cache slots and
         its result is the best length-penalized hypothesis."""
-        assert len(prompt_ids) + max_new_tokens <= self.max_len, \
-            "request exceeds max_len"
+        if self.streaming:
+            assert len(prompt_ids) < self.max_len, \
+                "prompt must fit in the cache"
+        else:
+            assert len(prompt_ids) + max_new_tokens <= self.max_len, \
+                "request exceeds max_len"
         if num_beams > 1:
             assert self.kv_mode == "slots", \
                 "beam requests require kv_mode='slots'"
@@ -239,7 +301,8 @@ class Scheduler:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running
+                    or self._prefilling is not None)
 
     # -- one scheduling iteration (reference scheduler.cpp:369 step) --------
     def _find_contiguous(self, W: int) -> Optional[int]:
@@ -265,15 +328,25 @@ class Scheduler:
         return self.allocator.n_free >= need
 
     def step(self):
-        admitted = False
-        # admit one waiting request if a slot (and, paged, enough pages) is
-        # free and we are not in a forced decode-only phase (prefill-defer)
-        if (self.waiting and self._can_admit(self.waiting[0])
+        """One mixed iteration: at most one prefill CHUNK plus one batched
+        decode step for all running slots (reference mixed prefill+decode
+        inputs, scheduler.cpp:55-98). Decodes advance every iteration, so
+        the decode-latency spike from an arriving long prompt is bounded
+        by one chunk's prefill time rather than the whole prompt's."""
+        # admit one waiting request if no prefill is mid-flight, a slot
+        # (and, paged, enough pages) is free, and we are not in a forced
+        # decode-only phase (prefill-defer)
+        if (self._prefilling is None and self.waiting
+                and self._can_admit(self.waiting[0])
                 and self.steps_decoding_for_next_prefill == 0):
             seq = self.waiting.popleft()
-            self._prefill(seq)
-            admitted = True
-        if not admitted and self.running:
+            if seq.num_beams > 1:
+                self._prefill_beam(seq)   # beam prefill is single-shot
+            else:
+                self._begin_prefill(seq)
+        if self._prefilling is not None:
+            self._prefill_chunk_step()
+        if self.running:
             self._decode_step()
             if self.steps_decoding_for_next_prefill > 0:
                 self.steps_decoding_for_next_prefill -= 1
@@ -348,6 +421,7 @@ class Scheduler:
         toks[0, :T] = seq.prompt_ids
         logits, self.cache = _prefill_slot(
             self.params, jnp.asarray(toks), self.cache, jnp.int32(base),
+            jnp.zeros((1,), jnp.int32), jnp.asarray([T], jnp.int32),
             self.cfg, Tb)
         # all W beams share the prompt KV
         self.cache = _bcast_rows(self.cache, jnp.int32(base), W)
@@ -447,47 +521,76 @@ class Scheduler:
             self.free_slots.append(s)
             self.lengths[s] = 0
 
-    def _prefill(self, seq: Sequence):
-        if seq.num_beams > 1:
-            return self._prefill_beam(seq)
+    def _chunk_bounds(self, T: int) -> List[Tuple[int, int]]:
+        """[(begin, end)) chunk spans for a T-token prompt."""
+        chunk = self.prefill_chunk or T
+        return [(b, min(b + chunk, T)) for b in range(0, T, chunk)] \
+            or [(0, 0)]
+
+    def _begin_prefill(self, seq: Sequence):
         slot = self.free_slots.pop()
+        seq.slot = slot
+        seq.status = SeqStatus.PREFILL
+        seq.prefill_pos = 0
         T = len(seq.prompt_ids)
-        Tb = _bucket(T, self.buckets)
-        toks = np.zeros((1, Tb), np.int32)
-        toks[0, :T] = seq.prompt_ids
         if self.kv_mode == "paged":
             # reserve prompt+max_new worst case up front → decode never
-            # OOMs mid-sequence (preemption-free policy). The bucketed
-            # prefill writes pad keys up to Tb, so those pages must be
-            # reserved too (they're masked, but must not alias other slots)
-            need = pages_needed(max(T + seq.max_new_tokens, Tb),
+            # OOMs mid-sequence (preemption-free policy). Each bucketed
+            # chunk writes pad keys up to its bucket end, so the furthest
+            # padded offset must be reserved too (those keys are masked,
+            # but must not alias other slots' pages).
+            last_b, last_e = self._chunk_bounds(T)[-1]
+            pad_end = last_b + _bucket(last_e - last_b, self.buckets)
+            need = pages_needed(max(T + seq.max_new_tokens, pad_end),
                                 self.page_size)
+            need = min(need, self.maxp)
             pages = self.allocator.alloc(need)
             assert pages is not None, "admission gate guarantees pages"
             self.slot_pages[slot] = pages
             self.table_np[slot, :] = self._trash_page
             self.table_np[slot, :need] = pages
-            self.cache = PagedKVCache(*self.cache[:4],
-                                      jnp.asarray(self.table_np))
-            self._table_dirty = False
-            logits, self.cache = _prefill_slot_paged(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.int32(slot), self.cfg, Tb)
+            self._table_dirty = True
+        self._prefilling = seq
+
+    def _prefill_chunk_step(self):
+        """Advance the in-flight prefill by one chunk; on the last chunk,
+        sample the first token and move the sequence to DECODING.
+
+        Invariant for the pad tail: a chunk [begin, end) is padded to
+        ``begin + Tb``; offsets in [end, begin+Tb) hold garbage keys, but
+        lengths[slot] stays <= end, so attention (bounded by the per-row
+        length) never reads them, and each one is overwritten when real
+        tokens (next chunk or decode) reach its offset."""
+        seq = self._prefilling
+        slot = seq.slot
+        T = len(seq.prompt_ids)
+        begin = seq.prefill_pos
+        end = min(begin + (self.prefill_chunk or T), T)
+        n = end - begin
+        Tb = _bucket(n, self.buckets)
+        toks = np.zeros((1, Tb), np.int32)
+        toks[0, :n] = seq.prompt_ids[begin:end]
+        args = (self.params, jnp.asarray(toks), self.cache, jnp.int32(slot),
+                jnp.asarray([begin], jnp.int32), jnp.asarray([T], jnp.int32),
+                self.cfg, Tb)
+        if self.kv_mode == "paged":
+            if self._table_dirty:
+                self.cache = PagedKVCache(*self.cache[:4],
+                                          jnp.asarray(self.table_np))
+                self._table_dirty = False
+                args = (args[0], args[1], self.cache) + args[3:]
+            logits, self.cache = _prefill_slot_paged(*args)
         else:
-            logits, self.cache = _prefill_slot(
-                self.params, jnp.asarray(toks), self.cache,
-                jnp.int32(slot), self.cfg, Tb)
-        # NOTE: padded positions T..Tb wrote garbage keys at those offsets;
-        # they are masked out because lengths[slot] = T keeps the decode
-        # attention window at < T... but the pad keys ARE below T? No: pads
-        # sit at positions T..Tb-1 which are >= lengths until real tokens
-        # reach them, at which point they are overwritten. Safe.
-        self.lengths[slot] = T
-        tok = self._sample_one(logits[0, T - 1], seq)
+            logits, self.cache = _prefill_slot(*args)
+        seq.prefill_pos = end
+        self.lengths[slot] = end
+        if end < T:
+            return
+        self._prefilling = None
+        tok = self._sample_one(logits[0, n - 1], seq)
         seq.output_ids.append(tok)
         seq.first_token_time = time.time()
         seq.status = SeqStatus.DECODING
-        seq.slot = slot
         self.running[slot] = seq
         self._next_tokens[slot] = tok
         self._maybe_finish(seq)
@@ -524,7 +627,17 @@ class Scheduler:
     def _maybe_finish(self, seq: Sequence):
         done = (len(seq.output_ids) >= seq.max_new_tokens
                 or seq.output_ids[-1] == self.cfg.eos_token_id
-                or self.lengths[seq.slot] + 1 >= self.max_len)
+                or (not self.streaming
+                    and self.lengths[seq.slot] + 1 >= self.max_len))
+        if not done and self.streaming \
+                and self.lengths[seq.slot] >= self.max_len:
+            # cache full → StreamingLLM: compact-and-rotate this slot and
+            # keep going (same trigger as stream_generate's pos >= max_len,
+            # so the two paths produce identical token streams)
+            self.cache = _shift_slot(self.cache, self.inv_freqs,
+                                     jnp.int32(seq.slot), self.cfg,
+                                     self.n_keep, self.n_discard)
+            self.lengths[seq.slot] -= self.n_discard
         if done:
             seq.status = SeqStatus.FINISHED
             seq.end_time = time.time()

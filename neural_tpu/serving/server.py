@@ -83,18 +83,31 @@ class ModelServer:
         self.default_length_penalty = kw.pop("length_penalty", 1.0)
         self.default_min_new_tokens = kw.pop("min_new_tokens", 0)
         kw.pop("early_stopping", None)  # HF can't-be-beaten stop is always on
+        # StreamingLLM serving (reference shift_roped_k + n_keep/n_discard
+        # CLI knobs): per-slot sink+shift when a sequence fills its KV
+        streaming = bool(kw.pop("shift_roped_k", False))
+        n_keep = kw.pop("n_keep", 4)
+        n_discard = kw.pop("n_discard", None)
+        if n_keep < 0:       # reference: -1 = keep the whole prompt... which
+            n_keep = 4       # is request-dependent; fall back to 4 sinks
+        if n_discard is not None and n_discard < 0:
+            n_discard = None
+        prefill_chunk = kw.pop("prefill_chunk", 512)
+        kv_mode = kw.pop("kv_mode", "slots")
         for ignored in ("threads", "scratch_size_ratio",
                         "continuous_batching", "print_log", "seed",
                         "do_sample", "temperature", "top_k", "top_p",
-                        "repetition_penalty", "pad_token",
-                        "n_keep", "n_discard", "shift_roped_k", "init_cb"):
+                        "repetition_penalty", "pad_token", "init_cb"):
             kw.pop(ignored, None)
         if kw:
             raise TypeError(f"unknown server kwargs: {sorted(kw)}")
         kv = jnp.bfloat16 if kv_dtype == "bfloat16" else kv_dtype
         self.scheduler = Scheduler(params, cfg, max_batch=max_batch,
                                    max_len=max_len, sampling=sampling,
-                                   kv_dtype=kv)
+                                   kv_dtype=kv, kv_mode=kv_mode,
+                                   prefill_chunk=prefill_chunk,
+                                   streaming=streaming, n_keep=n_keep,
+                                   n_discard=n_discard)
         self.callback = response_callback
         self._cb_arity = 1
         if response_callback is not None:
@@ -109,6 +122,10 @@ class ModelServer:
         self.poll_interval = poll_interval
         self._lock = threading.Lock()
         self._pending: List[Query] = []
+        self._draining = False   # queries popped from _pending but not yet
+        #                          in the scheduler (Empty() must see them)
+        self._outstanding = 0    # issued but not yet delivered (finished
+        #                          list / callback) — the Empty() invariant
         self.finished: List[Seq] = []  # drained here when no callback
         self._running = True
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -125,10 +142,17 @@ class ModelServer:
             queries = [queries]
         with self._lock:
             self._pending.extend(queries)
+            self._outstanding += len(queries)
 
     def Empty(self) -> bool:
+        """True iff every issued query has been DELIVERED (callback fired
+        or drained into .finished) — not merely finished inside the
+        scheduler, so a client that polls Empty() then reads results never
+        races the worker."""
         with self._lock:
-            return not self._pending and not self.scheduler.has_work
+            return (not self._pending and not self._draining
+                    and self._outstanding == 0
+                    and not self.scheduler.has_work)
 
     def stop(self):
         self._running = False
@@ -144,6 +168,7 @@ class ModelServer:
         while self._running:
             with self._lock:
                 pending, self._pending = self._pending, []
+                self._draining = bool(pending)
             for q in pending:
                 self.scheduler.add_request(
                     q.id, q.token_ids, q.max_new_tokens,
@@ -154,6 +179,9 @@ class ModelServer:
                     or self.default_length_penalty,
                     min_new_tokens=getattr(q, "min_new_tokens", None)
                     or self.default_min_new_tokens)
+            if pending:
+                with self._lock:
+                    self._draining = False
             if self.scheduler.has_work:
                 self.scheduler.step()
                 done = self.scheduler.pop_finished()
@@ -169,8 +197,11 @@ class ModelServer:
                             self.callback(done, working)
                         else:
                             self.callback(done)
+                        with self._lock:
+                            self._outstanding -= len(done)
                     else:
                         with self._lock:
                             self.finished.extend(done)
+                            self._outstanding -= len(done)
             else:
                 time.sleep(self.poll_interval)

@@ -213,3 +213,102 @@ def test_server_beam_query(model):
         while "b" not in got and time.time() - t0 < 120:
             time.sleep(0.05)
     assert got["b"].output_ids == ref[0].ids[len(prompt):]
+
+
+def test_chunked_prefill_matches_and_interleaves(model):
+    """Chunked prefill (mixed prefill+decode steps): outputs match the
+    sequential reference, and running decodes advance on EVERY scheduler
+    iteration while a long prompt prefills — the decode-latency bound the
+    reference gets from mixed prefill+decode inputs (scheduler.cpp:55-98)."""
+    params, cfg = model
+    rng = np.random.default_rng(3)
+    long_prompt = list(rng.integers(1, 128, 25))   # 4 chunks of 8
+    short = [5, 6, 7]
+    n_new = 12
+    ref_long = ref_outputs(params, cfg, [long_prompt], n_new)[0]
+
+    sched = Scheduler(params, cfg, max_batch=2, max_len=64,
+                      prefill_buckets=(8, 16, 32), prefill_chunk=8,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("short", short, max_new_tokens=n_new)
+    sched.step()                      # prefill short (1 chunk) + decode
+    assert sched.running
+    sched.add_request("long", long_prompt, max_new_tokens=n_new)
+    short_seq = next(iter(sched.running.values()))
+    # 4 iterations: each advances one chunk of the long prompt AND one
+    # decode step of the short sequence
+    grew = []
+    for _ in range(4):
+        before = len(short_seq.output_ids)
+        sched.step()
+        grew.append(len(short_seq.output_ids) == before + 1)
+    assert all(grew), grew            # no decode stall during long prefill
+    done = {s.request_id: s.output_ids for s in sched.run_to_completion()}
+    assert done["long"] == ref_long
+    assert len(done["short"]) == n_new
+
+
+def test_chunked_prefill_paged(model):
+    """Chunked prefill composes with the paged KV pool (pad-tail offsets
+    must stay inside the slot's reserved pages)."""
+    params, cfg = model
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(1, 128, n)) for n in (25, 11, 3, 30)]
+    n_new = 6
+    ref = ref_outputs(params, cfg, prompts, n_new)
+    sched = Scheduler(params, cfg, max_batch=2, max_len=64,
+                      prefill_buckets=(8, 16, 32), prefill_chunk=8,
+                      kv_mode="paged", page_size=16,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    for i, p in enumerate(prompts):
+        sched.add_request(f"q{i}", p, max_new_tokens=n_new)
+    done = {s.request_id: s.output_ids for s in sched.run_to_completion()}
+    exact = sum(done[f"q{i}"] == ref[i] for i in range(len(prompts)))
+    assert exact >= len(prompts) - 1, (done, ref)
+
+
+def test_scheduler_streaming_matches_stream_generate(model):
+    """Serving StreamingLLM (per-slot sink+shift) == the single-sequence
+    stream_generate oracle, through multiple shift events."""
+    from neural_tpu.runtime.streaming import stream_generate
+    params, cfg = model
+    max_len, n_keep, n_discard = 32, 2, 8
+    prompts = [[3, 14, 15, 9], [7, 8], [21, 22, 23], [40, 41, 42, 43, 44]]
+    n_new = 48                        # overflows a 32-slot cache twice
+    ref = [stream_generate(params, cfg, p, n_new, max_len, n_keep=n_keep,
+                           n_discard=n_discard, stop_at_eos=False)[len(p):]
+           for p in prompts]
+    sched = Scheduler(params, cfg, max_batch=2, max_len=max_len,
+                      prefill_buckets=(8, 16, 32),
+                      streaming=True, n_keep=n_keep, n_discard=n_discard,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    for i, p in enumerate(prompts):
+        sched.add_request(f"q{i}", p, max_new_tokens=n_new)
+    done = {s.request_id: s.output_ids for s in sched.run_to_completion()}
+    assert all(len(done[f"q{i}"]) == n_new for i in range(len(prompts)))
+    exact = sum(done[f"q{i}"] == ref[i] for i in range(len(prompts)))
+    assert exact >= len(prompts) - 1, (done, ref)
+
+
+def test_server_streaming_kwargs(model):
+    """shift_roped_k/n_keep/n_discard reach the scheduler (reference CLI
+    knobs for infinite inference)."""
+    params, cfg = model
+    srv = ModelServer(params, cfg, max_batch=2, ctx_size=32,
+                      shift_roped_k=True, n_keep=2, n_discard=8,
+                      prefill_chunk=None)
+    try:
+        assert srv.scheduler.streaming
+        assert srv.scheduler.n_keep == 2 and srv.scheduler.n_discard == 8
+        srv.issueQuery(Query("a", [3, 4, 5], max_new_tokens=40))
+        t0 = time.time()
+        while not srv.Empty() and time.time() - t0 < 120:
+            time.sleep(0.05)
+        with srv._lock:
+            done = list(srv.finished)
+        assert len(done) == 1 and len(done[0].output_ids) == 40
+    finally:
+        srv.stop()
