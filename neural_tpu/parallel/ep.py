@@ -111,34 +111,54 @@ def ep_moe(x, lp: Dict[str, Any], cfg: ModelConfig, ep_axis: str,
     ex = lp["experts"]
     from ..core.qtensor import QTensor
     if any(isinstance(v, QTensor) for v in ex.values()):
-        raise NotImplementedError(
-            "expert parallelism requires dense (unquantized) expert "
-            "weights for the batched [E_loc, ...] einsums; dequantize the "
-            "experts or run the MoE without ep_axis (dense mixture path)")
+        # quantized experts: per-local-expert fused dequant GEMMs.
+        # lax.map slices the [E_loc, ...] QTensor stacks into
+        # self-consistent per-expert QTensors (the same leading-axis
+        # mechanics as the layer scan), so each expert's projections run
+        # through qmatmul's Pallas dequant kernels on its gathered tokens
+        # (capability analog of the reference's quantized ne_mul_mat_id,
+        # ne_layers.h:265-271 — which has no EP at all).
+        import dataclasses
+        from ..models.transformer import _mlp
+        ecfg = dataclasses.replace(cfg, n_experts=0)
+        exq = dict(ex)
+        # down-proj bias joins AFTER the tp partial-sum reduction
+        # (replicated over tp; inside _mlp it would count tp times)
+        bd = exq.pop("b_down", None) if tp_axis is not None else None
 
-    def edot(h, wkey, bias=True):
-        we = ex[wkey]                                          # [E_loc, K, N]
-        y = jnp.einsum("ecd,edn->ecn", h.astype(jnp.bfloat16),
-                       we.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        b = ex.get("b" + wkey[1:])                             # b_gate/b_up/…
-        if bias and b is not None:
-            y = y + b.astype(jnp.float32)[:, None, :]
-        return y
+        def one(args):
+            e_params, h = args
+            return _mlp(h[None], e_params, ecfg, tp_axis=None)[0]
 
-    if cfg.mlp_gated:
-        h = _act(edot(recv, "w_gate"), cfg.act) * edot(recv, "w_up")
+        out_e = jax.lax.map(one, (exq, recv)).astype(jnp.float32)
+        if tp_axis is not None:
+            out_e = jax.lax.psum(out_e, tp_axis)
+            if bd is not None:
+                out_e = out_e + bd.astype(jnp.float32)[:, None, :]
     else:
-        h = _act(edot(recv, "w_up"), cfg.act)
-    # down bias joins AFTER the tp partial-sum reduction (replicated over
-    # tp; adding pre-psum would count it tp times)
-    out_e = edot(h.astype(jnp.bfloat16), "w_down",
-                 bias=tp_axis is None)                         # [E_loc, ep*C, D]
-    if tp_axis is not None:
-        out_e = jax.lax.psum(out_e, tp_axis)
-        bd = ex.get("b_down")
-        if bd is not None:
-            out_e = out_e + bd.astype(jnp.float32)[:, None, :]
+        def edot(h, wkey, bias=True):
+            we = ex[wkey]                                      # [E_loc, K, N]
+            y = jnp.einsum("ecd,edn->ecn", h.astype(jnp.bfloat16),
+                           we.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            b = ex.get("b" + wkey[1:])                         # b_gate/b_up/…
+            if bias and b is not None:
+                y = y + b.astype(jnp.float32)[:, None, :]
+            return y
+
+        if cfg.mlp_gated:
+            h = _act(edot(recv, "w_gate"), cfg.act) * edot(recv, "w_up")
+        else:
+            h = _act(edot(recv, "w_up"), cfg.act)
+        # down bias joins AFTER the tp partial-sum reduction (replicated
+        # over tp; adding pre-psum would count it tp times)
+        out_e = edot(h.astype(jnp.bfloat16), "w_down",
+                     bias=tp_axis is None)                     # [E_loc, ep*C, D]
+        if tp_axis is not None:
+            out_e = jax.lax.psum(out_e, tp_axis)
+            bd = ex.get("b_down")
+            if bd is not None:
+                out_e = out_e + bd.astype(jnp.float32)[:, None, :]
 
     # combine: route results back to the token owners (split the source-
     # rank-major ep*C dim, concat by owner rank → global expert order)

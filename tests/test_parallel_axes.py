@@ -241,3 +241,68 @@ def test_pp_train_matches_single_device(pp, tp, dp):
     np.testing.assert_allclose(np.asarray(new_params[lm]),
                                np.asarray(ref_new_lm),
                                atol=5e-3, rtol=5e-2)
+
+
+def test_ep_moe_quantized_experts():
+    """QTensor (int4) experts under EP: per-local-expert fused dequant
+    GEMMs must match the single-device dense-mixture oracle (the dense
+    path already consumes QTensor experts via lax.map)."""
+    from neural_tpu.core.qtensor import quantize
+    from neural_tpu.core.dtypes import PRESETS
+    cfg = tiny_cfg(arch="mixtral", n_experts=4, n_experts_active=2,
+                   intermediate_size=128)
+    rng = np.random.default_rng(0)
+    D, I_, E = cfg.hidden_size, cfg.intermediate_size, cfg.n_experts
+    dense = {
+        "w_gate": rng.standard_normal((E, D, I_)).astype(np.float32) * .05,
+        "w_up": rng.standard_normal((E, D, I_)).astype(np.float32) * .05,
+        "w_down": rng.standard_normal((E, I_, D)).astype(np.float32) * .05,
+    }
+    qcfg = PRESETS["q4_0"]
+    qex = {k: jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[quantize(jnp.asarray(w[e]), qcfg)
+                             for e in range(E)])
+           for k, w in dense.items()}
+    lp = {"router": jnp.asarray(
+        rng.standard_normal((D, E)).astype(np.float32)) * .1,
+        "experts": qex}
+    x = jnp.asarray(rng.standard_normal((2, 8, D)), jnp.float32)
+    ref = _moe_mlp(x.astype(jnp.bfloat16), lp, cfg)
+
+    from neural_tpu.parallel.ep import ep_moe
+    mesh = make_mesh(dp=1, ep=4)
+    specs = {"router": P(), "experts": {k: P("ep") for k in qex}}
+    got = jax.jit(jax.shard_map(
+        lambda lp_, x_: ep_moe(x_, lp_, cfg, "ep",
+                               capacity_factor=float(E)),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_vma=False))(lp, x.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_ep_full_model_forward_quantized():
+    """Whole quantized-MoE model (int4 experts + int4 dense projections)
+    with ep_axis routing — the sharded serving shape for a quantized
+    Mixtral."""
+    cfg = tiny_cfg(arch="mixtral", n_experts=4, n_experts_active=2,
+                   intermediate_size=128)
+    params = init_random(cfg, quant="q4_0", dtype=jnp.float32)
+    tokens = jnp.asarray(np.array([[5, 9, 2, 7, 33, 1, 8, 20]], np.int32))
+    start = jnp.zeros((1,), jnp.int32)
+    cache = init_cache(cfg, 1, 16)
+    ref, _ = model_step(params, tokens, start, cache, cfg)
+
+    from neural_tpu.parallel.ep import ep_param_specs
+    from neural_tpu.runtime.kvcache import KVCache
+    mesh = make_mesh(dp=1, ep=4)
+    specs = ep_param_specs(params, cfg, tp=False)
+    cs = P()
+    fn = jax.shard_map(
+        lambda p, t, s, c: forward(p, t, s, c, cfg, ep_axis="ep"),
+        mesh=mesh, in_specs=(specs, P(), P(), KVCache(cs, cs, None, None)),
+        out_specs=(P(), KVCache(cs, cs, None, None)), check_vma=False)
+    got, _ = jax.jit(fn)(params, tokens, start, init_cache(cfg, 1, 16))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
