@@ -208,6 +208,8 @@ class Model:
                  streamer=None, interactive: bool = False,
                  ignore_prompt: bool = False, stopping_criteria=None,
                  session_file: Optional[str] = None,
+                 kv_dtype="bf16", n_keep: int = 4,
+                 n_discard: Optional[int] = None,
                  **kw) -> List[List[int]]:
         """reference Model.generate (__init__.py:337). Returns full id
         lists (prompt + new tokens), one per input row — or new tokens only
@@ -218,14 +220,19 @@ class Model:
         batch 1 only. ``interactive``: keep the KV cache across generate
         calls (multi-round chat; reference reinit/generate_round).
         ``stopping_criteria``: callable(ids_2d, scores) -> bool, checked
-        per token. ``session_file``: prompt-keyed KV snapshot on disk
+        per token. ``kv_dtype``: "bf16" or "int8" KV cache (reference
+        memory_dtype); ``n_keep``/``n_discard``: StreamingLLM sink/window
+        knobs for ``streaming=True`` (reference CLI --n-keep/--n-discard).
+        ``session_file``: prompt-keyed KV snapshot on disk
         (reference CLI --session, main_run.cpp:614 + session files
         model_utils.cpp:1775-1869): if the file exists and its saved
         prompt is a prefix of this one, the matched prefix skips
         re-evaluation; after prefill the state is saved back."""
         assert self.params is not None, "call init first"
+        import jax.numpy as jnp
         from .utils.profiling import Timings, maybe_trace
         timings = Timings()
+        kvdt = jnp.int8 if kv_dtype in ("int8", jnp.int8) else jnp.bfloat16
         rows = _to_id_list(input_ids)
         hooked = (streamer is not None or stopping_criteria is not None
                   or interactive or session_file is not None)
@@ -251,7 +258,7 @@ class Model:
                     timings.phase("decode", tokens=max_new_tokens * len(rows)):
                 outs = batched_generate(
                     self.params, self.cfg, rows, sp, max_new_tokens,
-                    max_len, seed, stop_at_eos)
+                    max_len, seed, stop_at_eos, kv_dtype=kvdt)
             if ignore_prompt:
                 outs = [o[len(r):] for o, r in zip(outs, rows)]
             timings.print_if_verbose()
@@ -277,8 +284,9 @@ class Model:
                 from .runtime.streaming import stream_generate
                 out = stream_generate(
                     self.params, self.cfg, ids, max_new_tokens,
-                    max_len or self.cfg.max_seq_len, sampling=sp,
-                    seed=seed, stop_at_eos=stop_at_eos)
+                    max_len or self.cfg.max_seq_len, n_keep=n_keep,
+                    n_discard=n_discard, sampling=sp,
+                    seed=seed, stop_at_eos=stop_at_eos, kv_dtype=kvdt)
                 outs.append(out[len(ids):] if ignore_prompt else out)
             else:
                 from .runtime.generate import generate
@@ -287,7 +295,7 @@ class Model:
                                       tokens=max_new_tokens):
                     out = generate(self.params, self.cfg, ids, sp,
                                    max_new_tokens, max_len, seed,
-                                   stop_at_eos)
+                                   stop_at_eos, kv_dtype=kvdt)
                 outs.append(out[len(ids):] if ignore_prompt else out)
         timings.print_if_verbose()
         return outs
@@ -418,23 +426,48 @@ class Model:
         return self
 
     def transcribe_file(self, wav_path: str, prompt_ids=None,
-                        max_new_tokens: int = 224, timestamps: bool = False):
+                        max_new_tokens: int = 224, timestamps: bool = False,
+                        language=None, task: str = "transcribe",
+                        num_beams: int = 1, length_penalty: float = 1.0):
         """WAV file → token ids (reference: whisper CLI audio_run.cpp).
 
         ``timestamps=True``: long-form mode — the audio is processed in
         30 s windows advanced by the last decoded timestamp; returns a
         list of (start_s, end_s, token_ids) segments (reference
         whisper_full timestamps path). Otherwise returns one flat id list
-        for the first window."""
+        for the first window.
+
+        ``language``: a language code ("en"), a language token id, or
+        "auto" (one-step detection over the language block — reference
+        whisper_lang_auto_detect). ``task``: "transcribe" or "translate"
+        (reference whisper translate plumbing). ``num_beams > 1``: beam
+        decode (reference beam-search strategy)."""
         from .models import whisper as wh
         from .utils.audio import load_audio_16k
         audio = load_audio_16k(wav_path)
         mel = wh.log_mel_spectrogram(audio, self.cfg.n_mels)
-        prompt = list(prompt_ids) if prompt_ids is not None \
-            else [self.cfg.sot_token_id]
+        if prompt_ids is not None:
+            prompt = list(prompt_ids)
+        else:
+            lang_tok = None
+            if language == "auto":
+                lang_tok, _ = wh.detect_language(self.params, self.cfg, mel)
+            elif isinstance(language, int):
+                lang_tok = language
+            elif isinstance(language, str):
+                assert self.tokenizer is not None, \
+                    "language codes need a tokenizer; pass a token id"
+                lang_tok = self.tokenizer.convert_tokens_to_ids(
+                    f"<|{language}|>")
+            prompt = wh.build_forced_prompt(self.cfg, lang_tok, task,
+                                            timestamps)
         if timestamps:
             return wh.transcribe_segments(self.params, self.cfg, mel,
                                           prompt, max_new_tokens)
+        if num_beams > 1:
+            return wh.transcribe_ids_beam(self.params, self.cfg, mel,
+                                          prompt, num_beams,
+                                          max_new_tokens, length_penalty)
         return wh.transcribe_ids(self.params, self.cfg, mel, prompt,
                                  max_new_tokens)
 

@@ -291,6 +291,166 @@ def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Beam decode (reference whisper.cpp beam-search strategy)
+# ---------------------------------------------------------------------------
+
+
+def _reorder_state(state, parents):
+    """Reindex the beam rows of the decoder state (self-attn KV reorder —
+    the whisper analog of beam_search_kv_cache_reorder, model_utils.h:423;
+    cross K/V rows are identical copies so the take is a no-op there)."""
+    return {k: jnp.take(v, parents, axis=1) for k, v in state.items()}
+
+
+@partial(jax.jit, static_argnames=("cfg", "W"), donate_argnums=(4,))
+def _beam_step(params, tokens, pos, scores, state, alive,
+               cfg: WhisperConfig, W: int):
+    """One beam expansion over the whisper decoder (mirrors
+    runtime/beam.py::_beam_step: forward → joint top-k → KV reorder)."""
+    logits, state = decode_step(params, tokens, pos, state, cfg)
+    logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    V = logp.shape[-1]
+    logp = jnp.where(jnp.logical_not(alive)[:, None], -1e30, logp)
+    total = scores[:, None] + logp
+    top_scores, top_idx = jax.lax.top_k(total.reshape(-1), W)
+    parents = top_idx // V
+    toks = (top_idx % V).astype(jnp.int32)
+    state = _reorder_state(state, parents)
+    return parents, toks, top_scores, state
+
+
+def transcribe_ids_beam(params: Params, cfg: WhisperConfig, mel: np.ndarray,
+                        prompt_ids: Sequence[int], beam_size: int = 5,
+                        max_new_tokens: int = 64,
+                        length_penalty: float = 1.0) -> List[int]:
+    """Beam-search transcription (reference whisper.cpp beam strategy;
+    HF generate(num_beams=N) semantics incl. the can't-be-beaten early
+    stop). Returns prompt + best hypothesis ids."""
+    W = beam_size
+    T = len(prompt_ids)
+    enc = encode(params, jnp.asarray(mel)[None], cfg)
+    enc = jnp.broadcast_to(enc, (W,) + enc.shape[1:])
+    state = init_decoder_state(params, enc, cfg)
+    prompt = jnp.asarray(np.tile(np.asarray(prompt_ids, np.int32), (W, 1)))
+    logits, state = decode_step(params, prompt, jnp.zeros((W,), jnp.int32),
+                                state, cfg)
+    logp0 = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+    top_scores, top_toks = jax.lax.top_k(logp0, W)
+
+    beams = [list(prompt_ids) + [int(t)] for t in np.asarray(top_toks)]
+    scores = np.asarray(top_scores, np.float64).copy()
+    alive = np.ones(W, bool)
+    done: List[Tuple[List[int], float]] = []
+
+    def lp(n_new):
+        return max(n_new, 1) ** length_penalty
+
+    for w in range(W):
+        if beams[w][-1] == cfg.eos_token_id:
+            done.append((beams[w], scores[w] / lp(1)))
+            alive[w] = False
+            scores[w] = -1e30
+
+    pos = T
+    for step in range(1, max_new_tokens):
+        if not alive.any():
+            break
+        tokens = jnp.asarray(
+            np.asarray([b[-1] for b in beams], np.int32)[:, None])
+        parents, toks, new_scores, state = _beam_step(
+            params, tokens, jnp.full((W,), pos, jnp.int32),
+            jnp.asarray(scores, jnp.float32), state, jnp.asarray(alive),
+            cfg, W)
+        parents = np.asarray(parents)
+        toks = np.asarray(toks)
+        new_scores = np.asarray(new_scores, np.float64)
+        new_beams, new_alive = [], np.ones(W, bool)
+        for w in range(W):
+            seq = beams[parents[w]] + [int(toks[w])]
+            new_beams.append(seq)
+            if int(toks[w]) == cfg.eos_token_id:
+                done.append((seq, new_scores[w] / lp(step + 1)))
+                new_alive[w] = False
+                new_scores[w] = -1e30
+        beams, scores, alive = new_beams, new_scores, new_alive
+        pos += 1
+        if len(done) >= W:
+            best_alive = scores[alive].max() if alive.any() else -np.inf
+            worst_done = sorted(done, key=lambda h: -h[1])[W - 1][1]
+            if best_alive / lp(max_new_tokens) < worst_done:
+                break
+
+    for w in range(W):
+        if alive[w]:
+            done.append((beams[w], scores[w] / lp(len(beams[w]) - T)))
+    done.sort(key=lambda h: -h[1])
+    return done[0][0]
+
+
+# ---------------------------------------------------------------------------
+# Special-token layout, language auto-detect, task plumbing
+# ---------------------------------------------------------------------------
+
+
+def special_tokens(cfg: WhisperConfig) -> Dict[str, int]:
+    """Structure-derived special ids (whisper vocabs end with
+    [...languages...] <|translate|> <|transcribe|> <|startoflm|>
+    <|startofprev|> <|nospeech|> <|notimestamps|> [1500 timestamps] —
+    reference: whisper.cpp token_* fields)."""
+    ts = timestamp_begin(cfg)
+    no_ts = ts - 1
+    return {
+        "timestamp_begin": ts, "notimestamps": no_ts,
+        "nospeech": no_ts - 1, "startofprev": no_ts - 2,
+        "startoflm": no_ts - 3, "transcribe": no_ts - 4,
+        "translate": no_ts - 5,
+        "lang_begin": cfg.sot_token_id + 1,     # <|en|> ...
+        "lang_end": no_ts - 5,                  # exclusive
+    }
+
+
+def detect_language(params: Params, cfg: WhisperConfig, mel: np.ndarray,
+                    enc: Optional[jnp.ndarray] = None):
+    """One decoder step from [sot], softmax restricted to the language
+    token block (reference whisper_lang_auto_detect,
+    models/whisper/whisper.cpp). Returns (lang_token_id, probs [n_langs]
+    over ids lang_begin..lang_end)."""
+    st = special_tokens(cfg)
+    if st["lang_end"] <= st["lang_begin"]:
+        raise ValueError("vocab has no language token block")
+    if enc is None:
+        enc = encode(params, jnp.asarray(mel)[None], cfg)
+    state = init_decoder_state(params, enc, cfg, max_len=8)
+    toks = jnp.asarray([[cfg.sot_token_id]], jnp.int32)
+    logits, _ = decode_step(params, toks, jnp.zeros((1,), jnp.int32),
+                            state, cfg)
+    row = np.asarray(logits[0, -1], np.float32)
+    block = row[st["lang_begin"]:st["lang_end"]]
+    probs = np.exp(block - block.max())
+    probs /= probs.sum()
+    return st["lang_begin"] + int(block.argmax()), probs
+
+
+def build_forced_prompt(cfg: WhisperConfig, language: Optional[int] = None,
+                        task: str = "transcribe",
+                        timestamps: bool = False) -> List[int]:
+    """SOT-sequence builder: [sot, <|lang|>, <|task|>, (<|notimestamps|>)]
+    (reference whisper_full forced decoder tokens; HF forced_decoder_ids).
+    ``language`` is a language TOKEN id (use detect_language for auto)."""
+    if timestamp_begin(cfg) < 1:      # non-whisper vocab (tiny test models)
+        return [cfg.sot_token_id]
+    st = special_tokens(cfg)
+    ids = [cfg.sot_token_id]
+    if language is not None:
+        ids.append(int(language))
+    if language is not None or task != "transcribe":
+        ids.append(st[task])
+    if not timestamps:
+        ids.append(st["notimestamps"])
+    return ids
+
+
+# ---------------------------------------------------------------------------
 # Long-form transcription with timestamps (reference whisper_full seek loop)
 # ---------------------------------------------------------------------------
 

@@ -219,14 +219,15 @@ def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
 def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
              sampling: Optional[SamplingParams] = None,
              max_new_tokens: int = 128, max_len: Optional[int] = None,
-             seed: int = 0, stop_at_eos: bool = True):
+             seed: int = 0, stop_at_eos: bool = True,
+             kv_dtype=jnp.bfloat16):
     """Sampled single-sequence generation (reference Model.generate path
     with the full main_run.cpp:571-600 sampling stack)."""
     sampling = sampling or SamplingParams()
     prompt = np.asarray(prompt_ids, np.int32)[None, :]
     T = prompt.shape[1]
     S = max_len or min(cfg.max_seq_len, T + max_new_tokens)
-    cache = init_cache(cfg, 1, S)
+    cache = init_cache(cfg, 1, S, kv_dtype)
     state = SamplerState.init(1, sampling)
     key = jax.random.PRNGKey(seed)
 
@@ -349,7 +350,7 @@ def _prefill_ragged(params, tokens, lens, cache, cfg: ModelConfig):
 def batched_generate(params, cfg: ModelConfig, rows, sampling=None,
                      max_new_tokens: int = 128,
                      max_len: Optional[int] = None, seed: int = 0,
-                     stop_at_eos: bool = True):
+                     stop_at_eos: bool = True, kv_dtype=jnp.bfloat16):
     """Ragged multi-prompt generation: ONE padded prefill dispatch + ONE
     on-device decode loop for all rows (the reference batch path pads and
     de-pads around a batched model_eval, __init__.py:439-483 +
@@ -369,7 +370,7 @@ def batched_generate(params, cfg: ModelConfig, rows, sampling=None,
     toks = np.zeros((B, Tmax), np.int32)
     for b, r in enumerate(rows):
         toks[b, :len(r)] = r
-    cache = init_cache(cfg, B, S)
+    cache = init_cache(cfg, B, S, kv_dtype)
     jlens = jnp.asarray(lens)
     logits, cache = _prefill_ragged(params, jnp.asarray(toks), jlens, cache,
                                     cfg)

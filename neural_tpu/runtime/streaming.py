@@ -113,7 +113,8 @@ def stream_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
                     max_new_tokens: int, max_len: int,
                     n_keep: int = 4, n_discard: Optional[int] = None,
                     sampling: Optional[SamplingParams] = None,
-                    seed: int = 0, stop_at_eos: bool = False):
+                    seed: int = 0, stop_at_eos: bool = False,
+                    kv_dtype=jnp.bfloat16):
     """Infinite generation within a fixed ``max_len`` cache (reference CLI
     shift_roped_k path, main_run.cpp:~490-540). ``n_discard`` defaults to
     half the non-sink window (reference default)."""
@@ -122,7 +123,7 @@ def stream_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     sampling = sampling or SamplingParams(greedy=True, repeat_penalty=1.0)
     inv_freqs = params.get("rope_inv_freqs")
 
-    cache = init_cache(cfg, 1, max_len)
+    cache = init_cache(cfg, 1, max_len, kv_dtype)
     state = SamplerState.init(1, sampling)
     key = jax.random.PRNGKey(seed)
 

@@ -125,3 +125,75 @@ def test_long_form_transcribe_advances(setup):
     for t0, t1, ids in segs:
         assert 0.0 <= t0 <= t1 <= 45.0 + 30.0
         assert all(i < 150 for i in ids)
+
+
+def test_beam_transcribe_matches_hf(setup):
+    """Beam decode (KV-reordered beam rows over the whisper decoder) vs
+    HF generate(num_beams=5)."""
+    from neural_tpu.models.whisper import transcribe_ids_beam
+    m, params, cfg, mel = setup
+    ours = transcribe_ids_beam(params, cfg, mel, [4], beam_size=5,
+                               max_new_tokens=10, length_penalty=1.0)
+    with torch.no_grad():
+        ref = m.generate(input_features=torch.tensor(mel)[None],
+                         num_beams=5, max_new_tokens=10, do_sample=False,
+                         length_penalty=1.0,
+                         early_stopping=True)[0].tolist()
+    got = ours[1:]
+    assert got[:len(ref)] == ref[:len(got)], (ours, ref)
+
+
+def test_detect_language_matches_torch():
+    """Language auto-detect: one decoder step restricted to the language
+    block, vs a torch oracle on a whisper-shaped vocab layout."""
+    from neural_tpu.models.whisper import (params_from_hf, special_tokens,
+                                           detect_language)
+    cfg_hf = transformers.WhisperConfig(
+        vocab_size=1700, d_model=64, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=448,
+        eos_token_id=140, decoder_start_token_id=150, pad_token_id=0,
+        suppress_tokens=[], begin_suppress_tokens=[])
+    torch.manual_seed(1)
+    m = transformers.WhisperForConditionalGeneration(cfg_hf).eval()
+    params, cfg = params_from_hf(m)
+    st = special_tokens(cfg)
+    assert st["timestamp_begin"] == 1700 - 1501
+    assert st["lang_begin"] == 151 and st["lang_end"] == st["translate"]
+
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((80, 3000)).astype(np.float32) * 0.5
+    lang_tok, probs = detect_language(params, cfg, mel)
+    with torch.no_grad():
+        enc = m.model.encoder(torch.tensor(mel)[None]).last_hidden_state
+        lg = m(decoder_input_ids=torch.tensor([[150]]),
+               encoder_outputs=(enc,)).logits[0, -1]
+    block = lg[st["lang_begin"]:st["lang_end"]].numpy()
+    assert lang_tok == st["lang_begin"] + int(block.argmax())
+    assert abs(probs.sum() - 1.0) < 1e-5
+    ref_probs = np.exp(block - block.max()); ref_probs /= ref_probs.sum()
+    np.testing.assert_allclose(probs, ref_probs, atol=1e-3)
+
+
+def test_forced_prompt_real_vocab_layout():
+    """Special ids derived from the vocab structure must equal the real
+    multilingual whisper ids (translate=50358, transcribe=50359,
+    notimestamps=50363, langs from 50259)."""
+    from neural_tpu.models.whisper import (WhisperConfig, special_tokens,
+                                           build_forced_prompt)
+    cfg = WhisperConfig(vocab_size=51865, sot_token_id=50258)
+    st = special_tokens(cfg)
+    assert st["translate"] == 50358
+    assert st["transcribe"] == 50359
+    assert st["notimestamps"] == 50363
+    assert st["nospeech"] == 50362
+    assert st["lang_begin"] == 50259 and st["lang_end"] == 50358
+    en = 50259
+    assert build_forced_prompt(cfg, en, "transcribe", False) == \
+        [50258, 50259, 50359, 50363]
+    assert build_forced_prompt(cfg, en, "translate", True) == \
+        [50258, 50259, 50358]
+    # tiny test vocab (no special block): sot only
+    tiny = WhisperConfig(vocab_size=200, sot_token_id=4)
+    assert build_forced_prompt(tiny, None, "transcribe", False) == [4]
