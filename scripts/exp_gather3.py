@@ -3,11 +3,21 @@
 A permutation matrix stored as a 2-bit sym QTensor (codes {2,3}, scale 1
 → values {0,1} exactly; every product is exactly 0 or x so f32
 accumulation is EXACT) weighs K*K/4 bytes — 4 MB at K=4096 vs the 33 MB
-bf16 one-hot the current strategy streams. If the Pallas dequant-GEMM
-sustains stream rate on it, the gather drops from ~21 us to ~5-8 us.
+bf16 one-hot the current strategy NOMINALLY materializes.
 
-Measured as gather→decode-GEMM pairs (the gather feeds a Pallas kernel,
-so nothing fuses — the honest in-graph setting).
+RESULT (v5e, full 7B act-order decode via exp_variants with the gather
+wired through attach_act_order_gathers + skip_gather — since reverted):
+
+  q4_g128_asym_perm_shared      (in-graph bf16 one-hot):  6.05 ms/tok
+  q4_g128_asym_perm_shared_g2   (stored 2-bit one-hot):   6.76 ms/tok
+  q4_g128_sym                   (no act-order):           5.08 ms/tok
+
+NEGATIVE: the in-graph one-hot costs only ~10 us per gather — XLA fuses
+the iota-compare CONSTRUCTION into the dot's operand read, so the 33 MB
+matrix never round-trips HBM; the stored quantized one-hot pays a real
+8 MB native-code stream PLUS a separate unfused Pallas launch per
+gather. Act-order decode already sits within ~15-19% of unpermuted,
+meeting the VERDICT r1 target; the stored-gather machinery was removed.
 """
 import functools
 import os, sys, time
@@ -58,7 +68,7 @@ def main():
     print("q2 gather exact:", np.array_equal(g, ref), flush=True)
 
     @functools.partial(jax.jit, static_argnames=("n", "strat"))
-    def chain(x, n, strat):
+    def chain(x, pq, jperms, wq, n, strat):
         def step(x, _):
             for i in range(NP_):
                 if strat == "onehot":
@@ -76,9 +86,11 @@ def main():
         x, _ = jax.lax.scan(step, x, None, length=n)
         return x[0, 0]
 
+    pq = tuple(pq)
+    jperms = tuple(jperms)
     for strat in ("none", "onehot", "q2"):
         def run(n):
-            return float(chain(x, n, strat))
+            return float(chain(x, pq, jperms, wq, n, strat))
         run(1); run(3)
         def timed(n):
             best = 1e9
