@@ -30,7 +30,7 @@ from ..runtime.kvcache import KVCache, init_cache
 from ..runtime.paged import (PagedKVCache, PageAllocator, init_paged_cache,
                              pages_needed)
 from ..runtime.sampling import SamplingParams, SamplerState, sample
-from ..runtime.generate import prepare_params
+from ..runtime.generate import prepare_params, sample_loop, pick_decode_blk
 
 
 class SeqStatus(Enum):
@@ -194,7 +194,8 @@ class Scheduler:
                  n_pages: Optional[int] = None,
                  prefill_chunk: Optional[int] = 512,
                  streaming: bool = False, n_keep: int = 4,
-                 n_discard: Optional[int] = None):
+                 n_discard: Optional[int] = None,
+                 decode_block: int = 1):
         """``kv_mode="paged"``: shared page pool + per-slot page tables
         (runtime/paged.py). ``n_pages`` sizes the pool below worst case
         (default batch·max_len/page_size); admission defers when the pool
@@ -212,7 +213,18 @@ class Scheduler:
         when a slot's KV fills, keep ``n_keep`` sink tokens, drop
         ``n_discard`` (default half the non-sink window) and shift-RoPE
         the rest down (reference shift_roped_k serving path); requests may
-        then generate beyond max_len. Slots mode only."""
+        then generate beyond max_len. Slots mode only.
+
+        ``decode_block > 1``: when nothing can be admitted (pool full or
+        queue empty) and every running request shares one SamplingParams,
+        decode advances ``decode_block`` tokens per scheduler iteration in
+        ONE on-device sample_loop dispatch — sampling (penalties included)
+        runs on-device, so the host pays one round trip per block instead
+        of per token. Tokens a request generates past its EOS /
+        max_new_tokens within a block are discarded (its freed cache rows
+        are overwritten by the next prefill). Greedy outputs are identical
+        to decode_block=1; sampled outputs draw the same distribution from
+        a different key stream."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -266,6 +278,7 @@ class Scheduler:
         self.key = jax.random.PRNGKey(seed)
         self.state = SamplerState.init(max_batch, self.sampling)
         self._next_tokens = np.zeros(max_batch, np.int64)
+        self.decode_block = max(1, decode_block)
         self.steps_decoding_for_next_prefill = 0  # reference scheduler.cpp:355
 
     # -- client API ---------------------------------------------------------
@@ -595,7 +608,55 @@ class Scheduler:
         self._next_tokens[slot] = tok
         self._maybe_finish(seq)
 
+    def _decode_block_step(self, sp: SamplingParams, k: int):
+        """k decode steps in ONE on-device sample_loop dispatch (sampling
+        incl. penalties on-device); host post-processes the [k, B] token
+        block. Engaged by step() when nothing can be admitted and all
+        running requests share ``sp``."""
+        active = list(self.running.items())
+        # per-row capacity: a block writes k cache rows at lengths..+k
+        room = min(self.max_len - int(self.lengths[s]) for s, _ in active)
+        if room < k:
+            k = 1   # boundary: fall back (keeps compile count at two)
+        cfg = pick_decode_blk(self.cfg, int(self.lengths.max()) + k)
+        rl = max(sp.repeat_last_n, 0)
+        hist = np.zeros((self.max_batch, max(rl, 1)), np.int32)
+        valid = np.zeros((self.max_batch, max(rl, 1)), bool)
+        if rl > 0:
+            for slot, seq in active:
+                h = (seq.prompt_ids + seq.output_ids)[-rl:]
+                hist[slot, -len(h):] = h
+                valid[slot, -len(h):] = True
+        self.key, sub = jax.random.split(self.key)
+        toks, self.cache = sample_loop(
+            self.params, jnp.asarray(self._next_tokens[:, None], jnp.int32),
+            jnp.asarray(self.lengths.astype(np.int32)), self.cache, cfg, k,
+            sp, sub, jnp.asarray(hist), jnp.asarray(valid))
+        toks = np.asarray(toks)                        # [k, B]
+        for slot, seq in active:
+            for i in range(k):
+                t = int(toks[i, slot])
+                seq.output_ids.append(t)
+                self.lengths[slot] += 1
+                self._next_tokens[slot] = t
+                self._maybe_finish(seq)
+                if seq.status == SeqStatus.FINISHED:
+                    break   # tokens past EOS/max_new are discarded
+        # a k-block counts as k decode-only iterations for prefill-defer
+        self.steps_decoding_for_next_prefill = max(
+            0, self.steps_decoding_for_next_prefill - (k - 1))
+
     def _decode_step(self):
+        if self.decode_block > 1 and self.kv_mode == "slots" \
+                and not self.streaming and self._prefilling is None \
+                and not (self.waiting and self._can_admit(self.waiting[0])
+                         and self.steps_decoding_for_next_prefill == 0) \
+                and not any(q.num_beams > 1 for q in self.running.values()):
+            sps = {q.sampling or self.sampling
+                   for q in self.running.values()}
+            if len(sps) == 1:
+                return self._decode_block_step(next(iter(sps)),
+                                               self.decode_block)
         if self.kv_mode == "paged" and self._table_dirty:
             self.cache = PagedKVCache(*self.cache[:4],
                                       jnp.asarray(self.table_np))

@@ -94,6 +94,7 @@ class ModelServer:
             n_discard = None
         prefill_chunk = kw.pop("prefill_chunk", 512)
         kv_mode = kw.pop("kv_mode", "slots")
+        decode_block = kw.pop("decode_block", 1)
         for ignored in ("threads", "scratch_size_ratio",
                         "continuous_batching", "print_log", "seed",
                         "do_sample", "temperature", "top_k", "top_p",
@@ -107,7 +108,8 @@ class ModelServer:
                                    kv_dtype=kv, kv_mode=kv_mode,
                                    prefill_chunk=prefill_chunk,
                                    streaming=streaming, n_keep=n_keep,
-                                   n_discard=n_discard)
+                                   n_discard=n_discard,
+                                   decode_block=decode_block)
         self.callback = response_callback
         self._cb_arity = 1
         if response_callback is not None:

@@ -312,3 +312,49 @@ def test_server_streaming_kwargs(model):
         assert len(done) == 1 and len(done[0].output_ids) == 40
     finally:
         srv.stop()
+
+
+def test_decode_block_matches_single_step(model):
+    """decode_block=4 (multi-token on-device sample_loop steps) must
+    produce exactly the single-step greedy outputs, including EOS-
+    mid-block truncation and ragged finish times."""
+    params, cfg = model
+    import dataclasses
+    cfg_eos = dataclasses.replace(cfg, eos_token_id=7)  # reachable eos
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(1, 128, int(n)))
+               for n in rng.integers(3, 20, 6)]
+
+    def run(block):
+        sched = Scheduler(params, cfg_eos, max_batch=3, max_len=64,
+                          prefill_buckets=(32,), decode_block=block,
+                          sampling=SamplingParams(greedy=True,
+                                                  repeat_penalty=1.0))
+        for i, p in enumerate(prompts):
+            sched.add_request(f"q{i}", p, max_new_tokens=11)
+        return {s.request_id: s.output_ids
+                for s in sched.run_to_completion()}
+
+    one = run(1)
+    four = run(4)
+    assert one == four, (one, four)
+
+
+def test_decode_block_with_penalties(model):
+    """Blocked decode's on-device penalty ring == the host-side history
+    path (greedy with repetition penalty is deterministic)."""
+    params, cfg = model
+    prompts = [[5, 6, 7], [9, 1, 2, 3]]
+
+    def run(block):
+        sched = Scheduler(params, cfg, max_batch=2, max_len=64,
+                          prefill_buckets=(32,), decode_block=block,
+                          sampling=SamplingParams(greedy=True,
+                                                  repeat_penalty=1.3,
+                                                  repeat_last_n=16))
+        for i, p in enumerate(prompts):
+            sched.add_request(f"q{i}", p, max_new_tokens=10)
+        return {s.request_id: s.output_ids
+                for s in sched.run_to_completion()}
+
+    assert run(1) == run(4)
