@@ -111,7 +111,7 @@ def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36,
     return 1.0 / per_tok, per_tok * 1e3
 
 
-def bench_prefill(params, cfg, T=1975, S=2048):
+def bench_prefill(params, cfg, T=1975, S=2048, kv_dtype=jnp.bfloat16):
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (1, T), np.int32))
     start = jnp.zeros((1,), jnp.int32)
@@ -122,7 +122,7 @@ def bench_prefill(params, cfg, T=1975, S=2048):
     @partial(jax.jit, static_argnames=("n",))
     def chain(params, tokens, n):
         def body(i, tok):
-            cache = init_cache(cfg, 1, S)
+            cache = init_cache(cfg, 1, S, kv_dtype)
             logits, _ = forward(params, tok, start, cache, cfg,
                                 logits_dtype=jnp.bfloat16)
             bump = (logits[0, -1, :1] * 0).astype(jnp.int32)
@@ -155,9 +155,34 @@ def main():
     # halves KV memory
     _, ms_longfill_i8 = bench_decode(params, cfg, prompt_len=1975,
                                      kv_dtype="int8")
+    # batch-8 decode: the same weight stream amortized over 8 rows (the
+    # continuous-batching serving shape)
+    def bench_decode_b8(prompt_len=128, S=2048, lo=4, hi=36):
+        token = jnp.full((8, 1), 17, jnp.int32)
+
+        def run(n):
+            cache = init_cache(cfg, 8, S)
+            pos = jnp.full((8,), prompt_len, jnp.int32)
+            toks, _ = decode_loop(params, token, pos, cache, cfg, n,
+                                  fill_hint=prompt_len + hi)
+            return fetch(toks[-1])
+        run(lo); run(hi)
+
+        def timed(n):
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time(); run(n); best = min(best, time.time() - t0)
+            return best
+        per_tok = (timed(hi) - timed(lo)) / (hi - lo)
+        return 8.0 / per_tok, per_tok * 1e3
+    b8_tps, b8_step_ms = bench_decode_b8()
     ttft_ms = bench_prefill(params, cfg)
+    # int8-KV prefill must not regress TTFT (the flash_prefill kernel
+    # folds the k/v scales into score/probability columns)
+    ttft_i8_ms = bench_prefill(params, cfg, kv_dtype="int8")
     print(f"# decode {ms_per_tok:.2f} ms/tok (fill 128), "
-          f"{ms_longfill:.2f} (fill 1975), prefill(1975) {ttft_ms:.0f} ms",
+          f"{ms_longfill:.2f} (fill 1975), prefill(1975) {ttft_ms:.0f} ms "
+          f"(int8 KV {ttft_i8_ms:.0f}), batch8 {b8_tps:.0f} tok/s",
           file=sys.stderr)
 
     print(json.dumps({
@@ -170,7 +195,10 @@ def main():
             "next_token_ms_fill1975": round(ms_longfill, 2),
             "decode_tps_fill1975": round(1000.0 / ms_longfill, 2),
             "next_token_ms_fill1975_int8kv": round(ms_longfill_i8, 2),
+            "batch8_agg_tokens_per_sec": round(b8_tps, 1),
+            "batch8_step_ms": round(b8_step_ms, 2),
             "ttft_1975_ms": round(ttft_ms, 1),
+            "ttft_1975_int8kv_ms": round(ttft_i8_ms, 1),
             "ttft_vs_baseline": round(BASELINE_TTFT_MS / max(ttft_ms, 1e-9), 2),
             "baseline_next_token_ms": 41.27,
             "baseline_ttft_ms": BASELINE_TTFT_MS,

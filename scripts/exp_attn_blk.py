@@ -50,8 +50,13 @@ def main():
     for fill in (128, 512, 1984):
         lengths = jnp.asarray([fill], jnp.int32)
         row = []
-        for blk_s, hb in ((128, 8), (128, 16), (128, 32), (256, 16),
-                          (512, 8), (512, 16)):
+        import os as _os
+        pairs = ((128, 8), (128, 16), (128, 32), (256, 16),
+                 (512, 8), (512, 16))
+        if _os.environ.get("NTPU_EXP_PAIRS"):
+            pairs = tuple(tuple(map(int, p.split("x")))
+                          for p in _os.environ["NTPU_EXP_PAIRS"].split(","))
+        for blk_s, hb in pairs:
             def run(n):
                 return fetch(chain(q, k, v, lengths, n, blk_s, hb, ks, vs))
             run(4); run(68)
