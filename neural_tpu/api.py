@@ -352,9 +352,11 @@ class Model:
         state = SamplerState.init(1, sp)
         key = jax.random.PRNGKey(seed)
         prompt = jnp.asarray(np.asarray(eval_ids, np.int32)[None, :])
+        from .runtime.generate import _plen
+        plen = _plen(self.cfg, [pos + len(eval_ids)])
         logits, cache = model_step(self.params, prompt,
                                    jnp.asarray([pos], jnp.int32), cache,
-                                   self.cfg)
+                                   self.cfg, prompt_len=plen)
         pos += len(eval_ids)
         if session_file is not None and first_round:
             from .convert.checkpoint import save_session
@@ -382,7 +384,8 @@ class Model:
                 break
             logits, cache = model_step(
                 self.params, jnp.asarray([[next_id]], jnp.int32),
-                jnp.asarray([pos], jnp.int32), cache, self.cfg)
+                jnp.asarray([pos], jnp.int32), cache, self.cfg,
+                prompt_len=plen)
             pos += 1
         if streamer is not None:
             streamer.end()

@@ -329,11 +329,15 @@ def transcribe_ids_beam(params: Params, cfg: WhisperConfig, mel: np.ndarray,
     W = beam_size
     T = len(prompt_ids)
     enc = encode(params, jnp.asarray(mel)[None], cfg)
-    enc = jnp.broadcast_to(enc, (W,) + enc.shape[1:])
+    # prefill the prompt ONCE at B=1 (the W rows would be byte-identical),
+    # then broadcast the decoder state into the beam rows — the whisper
+    # analog of the scheduler's _bcast_rows beam admission
     state = init_decoder_state(params, enc, cfg)
-    prompt = jnp.asarray(np.tile(np.asarray(prompt_ids, np.int32), (W, 1)))
-    logits, state = decode_step(params, prompt, jnp.zeros((W,), jnp.int32),
+    prompt = jnp.asarray(np.asarray(prompt_ids, np.int32)[None, :])
+    logits, state = decode_step(params, prompt, jnp.zeros((1,), jnp.int32),
                                 state, cfg)
+    state = {k: jnp.broadcast_to(v, (v.shape[0], W) + v.shape[2:])
+             for k, v in state.items()}
     logp0 = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
     top_scores, top_toks = jax.lax.top_k(logp0, W)
 

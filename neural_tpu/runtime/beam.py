@@ -33,9 +33,17 @@ class Hypothesis:
     score: float            # length-penalized log-prob
 
 
+def _plen_beam(cfg: ModelConfig, T: int, W: int):
+    """Prompt-length operand for prefix-LM archs' decode steps (ChatGLM
+    v1 GLM RoPE anchor); None elsewhere."""
+    if cfg.prefix_lm or cfg.rope_style == "glm1":
+        return jnp.full((W,), T, jnp.int32)
+    return None
+
+
 @partial(jax.jit, static_argnames=("cfg", "W"), donate_argnums=(4,))
 def _beam_step(params, tokens, pos, scores, cache, alive, eos_mask,
-               cfg: ModelConfig, W: int):
+               cfg: ModelConfig, W: int, prompt_len=None):
     """One beam expansion.
 
     tokens [W, 1]; scores [W] cumulative log-probs; alive [W] bool;
@@ -43,7 +51,8 @@ def _beam_step(params, tokens, pos, scores, cache, alive, eos_mask,
     Returns (parents [W], next_tokens [W], new_scores [W], logp_of_pick [W],
     cache-after-reorder-and-forward).
     """
-    logits, cache = forward(params, tokens, pos, cache, cfg)
+    logits, cache = forward(params, tokens, pos, cache, cfg,
+                            prompt_len=prompt_len)
     logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
     logp = logp + eos_mask[None, :]
     V = logp.shape[-1]
@@ -109,7 +118,8 @@ def beam_search(params, cfg: ModelConfig, prompt_ids: Sequence[int],
         parents, toks, new_scores, _, cache = _beam_step(
             params, tokens, jnp.full((W,), pos, jnp.int32),
             jnp.asarray(scores, jnp.float32), cache,
-            jnp.asarray(alive), jnp.asarray(eos_mask), cfg, W)
+            jnp.asarray(alive), jnp.asarray(eos_mask), cfg, W,
+            prompt_len=_plen_beam(cfg, T, W))
         parents = np.asarray(parents)
         toks = np.asarray(toks)
         new_scores = np.asarray(new_scores, np.float64)

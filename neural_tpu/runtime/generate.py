@@ -184,9 +184,22 @@ def fuse_layer_weights(params, cfg: ModelConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
-def model_step(params, tokens, start, cache, cfg: ModelConfig):
-    """One eval: tokens [B, T] at cache offsets start [B] → logits, cache."""
-    return forward(params, tokens, start, cache, cfg)
+def model_step(params, tokens, start, cache, cfg: ModelConfig,
+               prompt_len=None):
+    """One eval: tokens [B, T] at cache offsets start [B] → logits, cache.
+
+    ``prompt_len`` [B]: the prompt size — needed by prefix-LM archs
+    (ChatGLM v1) on DECODE steps, where forward's start+T default would
+    track the current position instead of the prompt boundary."""
+    return forward(params, tokens, start, cache, cfg, prompt_len=prompt_len)
+
+
+def _plen(cfg: ModelConfig, lens) -> Optional[jnp.ndarray]:
+    """Prompt-length operand for decode steps — only prefix-LM archs
+    (ChatGLM v1) consume it; None elsewhere keeps jit signatures lean."""
+    if cfg.prefix_lm or cfg.rope_style == "glm1":
+        return jnp.asarray(np.atleast_1d(np.asarray(lens, np.int32)))
+    return None
 
 
 def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
@@ -198,6 +211,7 @@ def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     S = max_len or min(cfg.max_seq_len, T + max_new_tokens)
     cache = init_cache(cfg, 1, S, cache_dtype)
     start = jnp.zeros((1,), jnp.int32)
+    plen = _plen(cfg, [T])
 
     logits, cache = model_step(params, jnp.asarray(prompt), start, cache, cfg)
     next_id = int(jnp.argmax(logits[0, -1]))
@@ -209,7 +223,8 @@ def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
             break
         tok = jnp.asarray([[next_id]], jnp.int32)
         logits, cache = model_step(params, tok,
-                                   jnp.asarray([pos], jnp.int32), cache, cfg)
+                                   jnp.asarray([pos], jnp.int32), cache, cfg,
+                                   prompt_len=plen)
         next_id = int(jnp.argmax(logits[0, -1]))
         out.append(next_id)
         pos += 1
@@ -230,6 +245,7 @@ def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
     cache = init_cache(cfg, 1, S, kv_dtype)
     state = SamplerState.init(1, sampling)
     key = jax.random.PRNGKey(seed)
+    plen = _plen(cfg, [T])
 
     logits, cache = model_step(params, jnp.asarray(prompt),
                                jnp.zeros((1,), jnp.int32), cache, cfg)
@@ -251,7 +267,8 @@ def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
         if i == max_new_tokens - 1 or pos + 1 >= S:
             break
         logits, cache = model_step(params, jnp.asarray([[next_id]], jnp.int32),
-                                   jnp.asarray([pos], jnp.int32), cache, cfg)
+                                   jnp.asarray([pos], jnp.int32), cache, cfg,
+                                   prompt_len=plen)
         pos += 1
     return out
 
@@ -269,7 +286,7 @@ def pick_decode_blk(cfg: ModelConfig, fill_hint: Optional[int]):
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "fill_hint"),
          donate_argnums=(3,))
 def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
-                fill_hint: Optional[int] = None):
+                fill_hint: Optional[int] = None, prompt_len=None):
     """Fully on-device autoregressive greedy decode via lax.scan.
 
     Unlike the reference (one Python↔C++ crossing per token,
@@ -285,7 +302,8 @@ def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
     def body(carry, _):
         token, pos, cache = carry
         logits, cache = forward(params, token, pos, cache, cfg,
-                                logits_dtype=jnp.bfloat16)
+                                logits_dtype=jnp.bfloat16,
+                                prompt_len=prompt_len)
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return (nxt[:, None], pos + 1, cache), nxt
 
@@ -299,7 +317,8 @@ def decode_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
          donate_argnums=(3,))
 def sample_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
                 sampling: SamplingParams, key, history,
-                history_valid=None, fill_hint: Optional[int] = None):
+                history_valid=None, fill_hint: Optional[int] = None,
+                prompt_len=None):
     """On-device sampled decode: like decode_loop but with the full sampling
     pipeline per step. ``history`` [B, repeat_last_n] carries the recent
     tokens for penalties (a ring updated on-device); ``history_valid``
@@ -316,7 +335,8 @@ def sample_loop(params, token, pos, cache, cfg: ModelConfig, n_steps: int,
     def body(carry, key):
         token, pos, cache, state, history, hvalid = carry
         logits, cache = forward(params, token, pos, cache, cfg,
-                                logits_dtype=jnp.float32)
+                                logits_dtype=jnp.float32,
+                                prompt_len=prompt_len)
         tok, state = sample(logits[:, -1], key, sampling, state,
                             prev_tokens=history if penalties else None,
                             prev_valid=hvalid if penalties else None)
@@ -365,8 +385,11 @@ def batched_generate(params, cfg: ModelConfig, rows, sampling=None,
     lens = np.asarray([len(r) for r in rows], np.int32)
     Tmax = int(lens.max())
     S = max_len or min(cfg.max_seq_len, Tmax + max_new_tokens)
-    if Tmax + max_new_tokens > S:
-        raise ValueError(f"context overflow: {Tmax}+{max_new_tokens} > {S}")
+    if Tmax >= S:
+        raise ValueError(f"prompt ({Tmax}) does not fit max_len {S}")
+    # like the row-wise path, generation truncates at the cache end
+    # instead of erroring (the longest row bounds the whole batch)
+    max_new_tokens = min(max_new_tokens, S - Tmax)
     toks = np.zeros((B, Tmax), np.int32)
     for b, r in enumerate(rows):
         toks[b, :len(r)] = r
@@ -403,7 +426,8 @@ def batched_generate(params, cfg: ModelConfig, rows, sampling=None,
         rest, cache = sample_loop(
             params, tok0[:, None], jlens, cache, cfg, max_new_tokens - 1,
             sampling, key, hist, valid,
-            fill_hint=Tmax + max_new_tokens)
+            fill_hint=Tmax + max_new_tokens,
+            prompt_len=_plen(cfg, lens))
         new = np.concatenate([new, np.asarray(rest).T], axis=1)
 
     outs = []

@@ -51,6 +51,8 @@ class Sequence:
     status: SeqStatus = SeqStatus.WAITING
     slot: int = -1
     prefill_pos: int = 0   # tokens already prefilled (chunked prefill)
+    chunk: Optional[int] = None  # this request's prefill chunk (None =
+    #                              single-shot), set at admission
     output_ids: List[int] = dataclasses.field(default_factory=list)
     receive_time: float = dataclasses.field(default_factory=time.time)
     first_token_time: Optional[float] = None
@@ -167,12 +169,15 @@ def _reorder_rows(cache: KVCache, base, parents, W: int):
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
-def _decode_all(params, tokens, lengths, cache, cfg: ModelConfig):
+def _decode_all(params, tokens, lengths, cache, cfg: ModelConfig,
+                prompt_len=None):
     """One decode step for every slot: tokens [B, 1] at offsets lengths [B].
     Inactive slots still compute (static shapes) — their outputs are ignored
-    and their cache rows overwritten on next prefill."""
+    and their cache rows overwritten on next prefill. ``prompt_len`` [B]:
+    per-slot prompt sizes (prefix-LM archs' GLM RoPE anchor)."""
     params = prepare_params(params)
-    logits, cache = forward(params, tokens, lengths, cache, cfg)
+    logits, cache = forward(params, tokens, lengths, cache, cfg,
+                            prompt_len=prompt_len)
     return logits[:, -1], cache
 
 
@@ -248,7 +253,12 @@ class Scheduler:
         else:
             self.cache = init_cache(cfg, max_batch, max_len, kv_dtype)
         self.lengths = np.zeros(max_batch, np.int64)
+        self.prompt_lens = np.zeros(max_batch, np.int64)
         self.buckets = [b for b in prefill_buckets if b <= max_len]
+        if not self.buckets or self.buckets[-1] < max_len:
+            # terminal bucket = the cache itself, so single-shot prefill
+            # can hold any admissible prompt (T <= max_len)
+            self.buckets.append(max_len)
         if cfg.prefix_lm or cfg.rope_style == "glm1":
             prefill_chunk = None   # prefix mask needs the whole prompt
         if prefill_chunk is not None and kv_mode == "paged":
@@ -374,6 +384,12 @@ class Scheduler:
         return self.pop_finished()
 
     # -- internals ----------------------------------------------------------
+    def _plens(self):
+        """Per-slot prompt lengths for prefix-LM archs; None elsewhere."""
+        if self.cfg.prefix_lm or self.cfg.rope_style == "glm1":
+            return jnp.asarray(self.prompt_lens.astype(np.int32))
+        return None
+
     def _sample_one(self, logits_row, seq: Sequence):
         sp = seq.sampling or self.sampling
         self.key, sub = jax.random.split(self.key)
@@ -457,6 +473,7 @@ class Scheduler:
         seq.beam = BeamGroup(W, base, beams, scores, alive, done, step=1)
         for w in range(W):
             self.lengths[base + w] = T
+            self.prompt_lens[base + w] = T
             self._next_tokens[base + w] = beams[w][-1]
             self.running[base + w] = seq
         seq.first_token_time = time.time()
@@ -534,9 +551,27 @@ class Scheduler:
             self.free_slots.append(s)
             self.lengths[s] = 0
 
-    def _chunk_bounds(self, T: int) -> List[Tuple[int, int]]:
-        """[(begin, end)) chunk spans for a T-token prompt."""
-        chunk = self.prefill_chunk or T
+    def _seq_chunk(self, seq: Sequence) -> Optional[int]:
+        """Per-request prefill chunk; None = single-shot. Falls back to
+        single-shot when any chunk's bucket pad would cross max_len: a
+        crossing dynamic_update_slice would CLAMP its offset and silently
+        shift the chunk over earlier real keys (and a paged table would
+        index past its last page). Single-shot is always safe: bucket(T)
+        <= max_len by construction."""
+        chunk = self.prefill_chunk
+        if chunk is None:
+            return None
+        T = len(seq.prompt_ids)
+        for b in range(0, T, chunk):
+            e = min(b + chunk, T)
+            if b + _bucket(e - b, self.buckets) > self.max_len:
+                return None
+        return chunk
+
+    def _chunk_bounds(self, seq: Sequence) -> List[Tuple[int, int]]:
+        """[(begin, end)) chunk spans for this request's prompt."""
+        T = len(seq.prompt_ids)
+        chunk = seq.chunk or T
         return [(b, min(b + chunk, T)) for b in range(0, T, chunk)] \
             or [(0, 0)]
 
@@ -545,6 +580,7 @@ class Scheduler:
         seq.slot = slot
         seq.status = SeqStatus.PREFILL
         seq.prefill_pos = 0
+        seq.chunk = self._seq_chunk(seq)
         T = len(seq.prompt_ids)
         if self.kv_mode == "paged":
             # reserve prompt+max_new worst case up front → decode never
@@ -552,7 +588,7 @@ class Scheduler:
             # chunk writes pad keys up to its bucket end, so the furthest
             # padded offset must be reserved too (those keys are masked,
             # but must not alias other slots' pages).
-            last_b, last_e = self._chunk_bounds(T)[-1]
+            last_b, last_e = self._chunk_bounds(seq)[-1]
             pad_end = last_b + _bucket(last_e - last_b, self.buckets)
             need = pages_needed(max(T + seq.max_new_tokens, pad_end),
                                 self.page_size)
@@ -578,9 +614,10 @@ class Scheduler:
         slot = seq.slot
         T = len(seq.prompt_ids)
         begin = seq.prefill_pos
-        end = min(begin + (self.prefill_chunk or T), T)
+        end = min(begin + (seq.chunk or T), T)
         n = end - begin
         Tb = _bucket(n, self.buckets)
+        assert begin + Tb <= self.max_len, "guarded by _seq_chunk"
         toks = np.zeros((1, Tb), np.int32)
         toks[0, :n] = seq.prompt_ids[begin:end]
         args = (self.params, jnp.asarray(toks), self.cache, jnp.int32(slot),
@@ -600,6 +637,7 @@ class Scheduler:
         if end < T:
             return
         self._prefilling = None
+        self.prompt_lens[slot] = T
         tok = self._sample_one(logits[0, n - 1], seq)
         seq.output_ids.append(tok)
         seq.first_token_time = time.time()
@@ -631,7 +669,8 @@ class Scheduler:
         toks, self.cache = sample_loop(
             self.params, jnp.asarray(self._next_tokens[:, None], jnp.int32),
             jnp.asarray(self.lengths.astype(np.int32)), self.cache, cfg, k,
-            sp, sub, jnp.asarray(hist), jnp.asarray(valid))
+            sp, sub, jnp.asarray(hist), jnp.asarray(valid),
+            prompt_len=self._plens())
         toks = np.asarray(toks)                        # [k, B]
         for slot, seq in active:
             for i in range(k):
@@ -668,7 +707,7 @@ class Scheduler:
         from ..runtime.generate import pick_decode_blk
         cfg = pick_decode_blk(self.cfg, int(self.lengths.max()) + 1)
         logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
-                                         cfg)
+                                         cfg, prompt_len=self._plens())
         logits = np.asarray(logits, np.float32)
         items = [(s, q) for s, q in self.running.items() if q.num_beams == 1]
         beam_seqs = list({id(q): q for q in self.running.values()

@@ -33,10 +33,14 @@ def build_prompt_glm2(history: List[str]) -> str:
 
 
 def build_prompt(arch: str, history: List[str]) -> str:
-    """Arch-aware chat prompt (plain turn concat for non-GLM archs)."""
-    if arch == "chatglm":
+    """Arch-aware chat prompt (plain turn concat for non-GLM archs).
+
+    Arch strings follow models/chatglm.py: ``"chatglm1"`` is THUDM's v1
+    (prefix-LM graph); ``"chatglm"`` covers v2/3/4 (the unified GQA
+    graph)."""
+    if arch == "chatglm1":
         return build_prompt_glm1(history)
-    if arch in ("chatglm2", "chatglm3", "chatglm4"):
+    if arch in ("chatglm", "chatglm2", "chatglm3", "chatglm4"):
         return build_prompt_glm2(history)
     out = []
     for i in range(0, len(history), 2):

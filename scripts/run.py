@@ -33,28 +33,28 @@ def chat_console(m, args):
         if not q:
             break
         history.append(q)
-        if arch.startswith("chatglm") or not history[:-1]:
+        common = dict(max_new_tokens=args.max_new_tokens,
+                      do_sample=args.do_sample,
+                      temperature=args.temperature, top_k=args.top_k,
+                      top_p=args.top_p, kv_dtype=args.kv_dtype,
+                      max_len=args.ctx_size, ignore_prompt=True)
+        if arch.startswith("chatglm"):
             # GLM formats re-render the whole history each round (the
             # reference re-evals; our KV session skips the shared prefix)
             prompt = build_prompt(arch, history)
             m.reset_kv_cache()
             ids = m.tokenizer.encode(prompt)
-            out = m.generate(ids, max_new_tokens=args.max_new_tokens,
-                             do_sample=args.do_sample,
-                             temperature=args.temperature, top_k=args.top_k,
-                             top_p=args.top_p, kv_dtype=args.kv_dtype,
-                             max_len=args.ctx_size,
-                             ignore_prompt=True, interactive=False)[0]
+            out = m.generate(ids, interactive=False, **common)[0]
+        elif not history[:-1]:
+            # first round: interactive=True creates the KV session the
+            # later rounds extend
+            ids = m.tokenizer.encode(q)
+            out = m.generate(ids, interactive=True, **common)[0]
         else:
             ids = m.tokenizer.encode("\n" + q + "\n",
                                      add_special_tokens=False) \
                 if hasattr(m.tokenizer, "encode") else m.tokenizer.encode(q)
-            out = m.generate(ids, max_new_tokens=args.max_new_tokens,
-                             do_sample=args.do_sample,
-                             temperature=args.temperature, top_k=args.top_k,
-                             top_p=args.top_p, kv_dtype=args.kv_dtype,
-                             max_len=args.ctx_size,
-                             interactive=True, ignore_prompt=True)[0]
+            out = m.generate(ids, interactive=True, **common)[0]
         text = m.tokenizer.decode(out)
         history.append(text)
         print(text)

@@ -185,3 +185,62 @@ def test_chatglm1_flash_prefill_prefix():
     np.testing.assert_allclose(
         np.asarray(out).reshape(ref.shape), np.asarray(ref),
         atol=3e-2, rtol=3e-2)
+
+
+def test_chatglm1_production_decode_paths_pass_prompt_len():
+    """The PRODUCTION decode paths (greedy_generate / generate /
+    decode_loop / Model.generate batched / scheduler) must anchor the 2-D
+    GLM RoPE at the prompt boundary — regression for the bug where
+    forward's start+T default made generated tokens' block ids stick at 1.
+    Oracle: manual forward loop passing prompt_len explicitly."""
+    from neural_tpu.models.transformer import forward
+    from neural_tpu.runtime.generate import greedy_generate, decode_loop
+    cfg = mk_cfg()
+    params = init_random(cfg, seed=5, dtype=jnp.float32)
+    prompt = [5, 2, 33, 17, 8]
+    P = len(prompt)
+    n_new = 6
+
+    # reference loop: explicit prompt_len (pinned correct by
+    # test_chatglm1_decode_matches_oracle)
+    cache = init_cache(cfg, 1, 32)
+    plen = jnp.asarray([P], jnp.int32)
+    logits, cache = forward(params, jnp.asarray([prompt], jnp.int32),
+                            jnp.zeros((1,), jnp.int32), cache, cfg,
+                            prompt_len=plen)
+    want = list(prompt)
+    pos = P
+    for _ in range(n_new):
+        nxt = int(np.argmax(np.asarray(logits[0, -1])))
+        want.append(nxt)
+        logits, cache = forward(params, jnp.asarray([[nxt]], jnp.int32),
+                                jnp.asarray([pos], jnp.int32), cache, cfg,
+                                prompt_len=plen)
+        pos += 1
+
+    got = greedy_generate(params, cfg, prompt, max_new_tokens=n_new + 1,
+                          max_len=32, stop_at_eos=False)
+    assert got[:P + n_new] == want, (got, want)
+
+    # on-device decode_loop path
+    cache = init_cache(cfg, 1, 32)
+    logits, cache = forward(params, jnp.asarray([prompt], jnp.int32),
+                            jnp.zeros((1,), jnp.int32), cache, cfg,
+                            prompt_len=plen)
+    tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+    toks, _ = decode_loop(params, tok0, jnp.asarray([P], jnp.int32),
+                          cache, cfg, n_new - 1, prompt_len=plen)
+    assert [int(want[P])] + [int(t) for t in np.asarray(toks)[:, 0]] \
+        == want[P:], (toks, want[P:])
+
+    # scheduler path (single-shot prefill — prefix-LM forces chunk=None)
+    from neural_tpu.serving import Scheduler
+    from neural_tpu.runtime import SamplingParams
+    sched = Scheduler(params, cfg, max_batch=2, max_len=32,
+                      prefill_buckets=(8, 16),
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("a", prompt, max_new_tokens=n_new)
+    done = sched.run_to_completion()
+    assert done[0].output_ids == want[P:P + n_new], \
+        (done[0].output_ids, want[P:])

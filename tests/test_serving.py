@@ -358,3 +358,40 @@ def test_decode_block_with_penalties(model):
                 for s in sched.run_to_completion()}
 
     assert run(1) == run(4)
+
+
+def test_chunked_prefill_bucket_pad_never_crosses_max_len(model):
+    """A prompt whose final chunk's bucket pad would cross max_len must
+    fall back to single-shot prefill (a crossing dynamic_update_slice
+    would clamp its offset and corrupt earlier keys) — and still match
+    the sequential reference."""
+    params, cfg = model
+    rng = np.random.default_rng(13)
+    # max_len 48 with buckets (8, 16): a 42-token prompt's last 8-chunk
+    # [40, 42) pads to 48... begin 40 + Tb 8 = 48 fits, but a 44-token
+    # prompt's chunk [40, 44) pads begin 40 + 8 = 48 fits too; use
+    # max_len 42: chunk [40, 42) → 40 + 8 = 48 > 42 → must single-shot
+    prompt = list(rng.integers(1, 128, 40))
+    n_new = 2
+    ref = ref_outputs(params, cfg, [prompt], n_new)[0]
+    sched = Scheduler(params, cfg, max_batch=1, max_len=42,
+                      prefill_buckets=(8, 16), prefill_chunk=8,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("a", prompt, max_new_tokens=n_new)
+    done = sched.run_to_completion()
+    assert done[0].output_ids == ref, (done[0].output_ids, ref)
+
+
+def test_batched_generate_truncates_at_cache_end(model):
+    """Batched generate truncates at the cache end like the row-wise
+    path instead of raising (review finding)."""
+    params, cfg = model
+    from neural_tpu.runtime.generate import batched_generate
+    from neural_tpu.runtime import SamplingParams
+    rows = [[3, 4, 5, 6], [7, 8]]
+    outs = batched_generate(params, cfg, rows,
+                            SamplingParams(greedy=True, repeat_penalty=1.0),
+                            max_new_tokens=100, max_len=16,
+                            stop_at_eos=False)
+    assert len(outs[0]) == 16 and len(outs[1]) == 14
