@@ -173,10 +173,15 @@ def cfg3_server():
 
 def cfg4_qwen_oddbit():
     """int3 / int5 odd-bit decode + shift-RoPE streaming overhead."""
+    from neural_tpu.runtime.generate import prepare_params
     out = {}
     for bits in (3, 5):
         qcfg = QuantConfig(bits=bits, group_size=32, sym=True)
         params = rand_params(QWEN_7B, qcfg)
+        # convert to native codes up front WITH DONATION: the 152k-vocab
+        # qwen shape OOMs when the packed planes stay alive next to the
+        # native copies inside decode_loop's own conversion
+        params = jax.jit(prepare_params, donate_argnums=0)(params)
         dt = slope_decode(params, QWEN_7B)
         out[f"int{bits}_next_token_ms"] = round(dt * 1e3, 2)
         if bits == 3:
