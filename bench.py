@@ -5,51 +5,71 @@ Headline: greedy decode tokens/sec/chip (reference baseline: 41.27 ms
 next-token latency on 56-core Xeon 8480L with fused attention ON →
 24.23 tok/s; BASELINE.md / docs/fused_attention.md:111).
 
+Every leg runs in its OWN SUBPROCESS (``python bench.py --leg <name>``):
+a leg's executables, weight buffers and KV caches are fully freed when it
+exits, so one leg's HBM footprint never stacks on another's (the round-2
+failure mode: the batch-8 leg OOMed on top of earlier legs' live
+executables). A hung or failed leg forfeits only its own extras — the
+headline comes from the first leg and is required.
+
 Weights are random, generated and quantized on-device layer by layer
 (numerics don't affect throughput). Timing: the tunneled backend's
 block_until_ready doesn't block, so every measurement chains work inside
 one jit and fetches a scalar; fixed dispatch overhead cancels via slope.
 """
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from neural_tpu.core import PRESETS, quantize
-from neural_tpu.models.config import ModelConfig
-from neural_tpu.models import llama as llama_mod
-from neural_tpu.convert.hf import _add_aux
-from neural_tpu.runtime import init_cache
-from neural_tpu.runtime.generate import decode_loop, model_step
-
-LLAMA2_7B = ModelConfig(
-    arch="llama", vocab_size=32000, hidden_size=4096, n_layers=32,
-    n_heads=32, n_kv_heads=32, head_dim=128, intermediate_size=11008,
-    norm_eps=1e-5, rope_theta=10000.0, max_seq_len=4096)
-
 BASELINE_DECODE_TPS = 1000.0 / 41.27  # reference fused-attn next-token
 BASELINE_TTFT_MS = 1475.57            # reference 1975-token prompt
+LEG_TIMEOUT_S = int(os.environ.get("NTPU_BENCH_LEG_TIMEOUT", "1500"))
 
 
-def rand_quant_params(cfg: ModelConfig, quant="q4_0", seed=0):
+def _llama2_7b():
+    from neural_tpu.models.config import ModelConfig
+    cfg = ModelConfig(
+        arch="llama", vocab_size=32000, hidden_size=4096, n_layers=32,
+        n_heads=32, n_kv_heads=32, head_dim=128, intermediate_size=11008,
+        norm_eps=1e-5, rope_theta=10000.0, max_seq_len=4096)
+    if os.environ.get("NTPU_BENCH_TINY"):  # CPU smoke of the harness only
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, hidden_size=256, n_layers=2, n_heads=4, n_kv_heads=4,
+            head_dim=64, intermediate_size=512, vocab_size=512)
+    return cfg
+
+
+# module-level alias for scripts/bench_configs.py (lazy: building it pulls
+# in jax, which the orchestrator process must NOT touch)
+def __getattr__(name):
+    if name == "LLAMA2_7B":
+        return _llama2_7b()
+    raise AttributeError(name)
+
+
+def rand_quant_params(cfg, quant="q4_0", seed=0):
     """Random int4 params generated on device (never materializes fp32 7B)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from neural_tpu.core import PRESETS, quantize
+    from neural_tpu.convert.hf import _add_aux, _shape_for, ffn_padded_size
+
     qcfg = PRESETS[quant]
     key = jax.random.PRNGKey(seed)
-
-    from functools import partial
 
     @partial(jax.jit, static_argnames=("shape_k", "shape_n"))
     def make(key, shape_k, shape_n):
         w = jax.random.normal(key, (shape_k, shape_n), jnp.float32) * 0.02
         return quantize(w, qcfg)
 
-    from neural_tpu.convert.hf import _shape_for, ffn_padded_size
     layer_names = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"]
     per_layer = {n: [] for n in layer_names}
     norms = {"attn_norm_w": [], "ffn_norm_w": []}
@@ -85,16 +105,22 @@ def rand_quant_params(cfg: ModelConfig, quant="q4_0", seed=0):
 
 
 def fetch(x):
+    import jax.numpy as jnp
     return float(jnp.asarray(x).astype(jnp.float32).reshape(-1)[0])
 
 
 def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36,
-                 kv_dtype=jnp.bfloat16):
-    token = jnp.asarray([[17]], jnp.int32)
+                 kv_dtype=None, batch=1):
+    import jax.numpy as jnp
+    from neural_tpu.runtime import init_cache
+    from neural_tpu.runtime.generate import decode_loop
+
+    kv_dtype = kv_dtype or jnp.bfloat16
+    token = jnp.full((batch, 1), 17, jnp.int32)
 
     def run(n):
-        cache = init_cache(cfg, 1, S, kv_dtype)
-        pos = jnp.asarray([prompt_len], jnp.int32)
+        cache = init_cache(cfg, batch, S, kv_dtype)
+        pos = jnp.full((batch,), prompt_len, jnp.int32)
         toks, cache = decode_loop(params, token, pos, cache, cfg, n,
                                   fill_hint=prompt_len + hi)
         return fetch(toks[-1])
@@ -108,16 +134,21 @@ def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36,
         return best
     t_lo, t_hi = timed(lo), timed(hi)
     per_tok = (t_hi - t_lo) / (hi - lo)
-    return 1.0 / per_tok, per_tok * 1e3
+    return batch / per_tok, per_tok * 1e3
 
 
-def bench_prefill(params, cfg, T=1975, S=2048, kv_dtype=jnp.bfloat16):
+def bench_prefill(params, cfg, T=1975, S=2048, kv_dtype=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from neural_tpu.models.transformer import forward
+    from neural_tpu.runtime import init_cache
+
+    kv_dtype = kv_dtype or jnp.bfloat16
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (1, T), np.int32))
     start = jnp.zeros((1,), jnp.int32)
-
-    from functools import partial
-    from neural_tpu.models.transformer import forward
 
     @partial(jax.jit, static_argnames=("n",))
     def chain(params, tokens, n):
@@ -140,69 +171,128 @@ def bench_prefill(params, cfg, T=1975, S=2048, kv_dtype=jnp.bfloat16):
     return (t3 - t1) / 2 * 1e3  # ms per prefill
 
 
-def main():
-    cfg = LLAMA2_7B
-    t0 = time.time()
+# ---------------------------------------------------------------------------
+# Legs (each runs in its own subprocess; prints one JSON dict on stdout)
+# ---------------------------------------------------------------------------
+
+
+def leg_decode():
+    """fill-128 and fill-1975 greedy decode, bf16 KV. Headline source."""
+    cfg = _llama2_7b()
     params = rand_quant_params(cfg)
-    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+    tps, ms = bench_decode(params, cfg)
+    _, ms_1975 = bench_decode(params, cfg, prompt_len=1975)
+    return {"decode_tps": tps, "next_token_ms": ms,
+            "next_token_ms_fill1975": ms_1975}
 
-    tps, ms_per_tok = bench_decode(params, cfg)
-    # the reference's own condition: next-token latency AFTER the
-    # 1975-token prompt (docs/fused_attention.md:111 measures the 4th
-    # generated token of that prompt)
-    _, ms_longfill = bench_decode(params, cfg, prompt_len=1975)
-    # int8 KV (the reference's packed-KV default): wins at long fill and
-    # halves KV memory
-    _, ms_longfill_i8 = bench_decode(params, cfg, prompt_len=1975,
-                                     kv_dtype="int8")
-    # batch-8 decode: the same weight stream amortized over 8 rows (the
-    # continuous-batching serving shape)
-    def bench_decode_b8(prompt_len=128, S=2048, lo=4, hi=36):
-        token = jnp.full((8, 1), 17, jnp.int32)
 
-        def run(n):
-            cache = init_cache(cfg, 8, S)
-            pos = jnp.full((8,), prompt_len, jnp.int32)
-            toks, _ = decode_loop(params, token, pos, cache, cfg, n,
-                                  fill_hint=prompt_len + hi)
-            return fetch(toks[-1])
-        run(lo); run(hi)
+def leg_decode_i8kv():
+    """fill-1975 decode with int8 KV (the reference's packed-KV default)."""
+    cfg = _llama2_7b()
+    params = rand_quant_params(cfg)
+    _, ms = bench_decode(params, cfg, prompt_len=1975, kv_dtype="int8")
+    return {"next_token_ms_fill1975_int8kv": ms}
 
-        def timed(n):
-            best = 1e9
-            for _ in range(3):
-                t0 = time.time(); run(n); best = min(best, time.time() - t0)
-            return best
-        per_tok = (timed(hi) - timed(lo)) / (hi - lo)
-        return 8.0 / per_tok, per_tok * 1e3
-    b8_tps, b8_step_ms = bench_decode_b8()
-    ttft_ms = bench_prefill(params, cfg)
-    # int8-KV prefill must not regress TTFT (the flash_prefill kernel
-    # folds the k/v scales into score/probability columns)
-    ttft_i8_ms = bench_prefill(params, cfg, kv_dtype="int8")
-    print(f"# decode {ms_per_tok:.2f} ms/tok (fill 128), "
-          f"{ms_longfill:.2f} (fill 1975), prefill(1975) {ttft_ms:.0f} ms "
-          f"(int8 KV {ttft_i8_ms:.0f}), batch8 {b8_tps:.0f} tok/s",
-          file=sys.stderr)
+
+def leg_batch8():
+    """batch-8 aggregate decode (continuous-batching serving shape).
+
+    int8 KV: the serving default, and the config that fits one 16 GB chip
+    next to the model — batch-8 bf16 KV at S=2048 is ~8.6 GB which with
+    packed+converted weights exceeded HBM (round-2 OOM)."""
+    cfg = _llama2_7b()
+    params = rand_quant_params(cfg)
+    tps, step_ms = bench_decode(params, cfg, batch=8, kv_dtype="int8")
+    return {"batch8_agg_tokens_per_sec": tps, "batch8_step_ms": step_ms,
+            "batch8_kv_dtype": "int8"}
+
+
+def leg_prefill():
+    """1975-token prompt TTFT, bf16 and int8 KV."""
+    cfg = _llama2_7b()
+    params = rand_quant_params(cfg)
+    ttft = bench_prefill(params, cfg)
+    ttft_i8 = bench_prefill(params, cfg, kv_dtype="int8")
+    return {"ttft_1975_ms": ttft, "ttft_1975_int8kv_ms": ttft_i8}
+
+
+LEGS = {
+    "decode": leg_decode,
+    "decode_i8kv": leg_decode_i8kv,
+    "batch8": leg_batch8,
+    "prefill": leg_prefill,
+}
+
+
+def run_leg_subprocess(name):
+    """Run one leg isolated; returns (dict | None, err_string | None)."""
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", name],
+            capture_output=True, text=True, timeout=LEG_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return None, f"{name}: timeout after {LEG_TIMEOUT_S}s"
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or "")[-2000:]
+        return None, f"{name}: rc={proc.returncode} after {dt:.0f}s: {tail}"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, f"{name}: no JSON in output: {proc.stdout[-500:]}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leg", choices=sorted(LEGS))
+    args = ap.parse_args()
+
+    if args.leg:
+        out = LEGS[args.leg]()
+        print(json.dumps(out))
+        return
+
+    extras, errors = {}, []
+    for name in ("decode", "decode_i8kv", "batch8", "prefill"):
+        res, err = run_leg_subprocess(name)
+        if res is not None:
+            extras.update(res)
+            print(f"# leg {name}: {res}", file=sys.stderr)
+        else:
+            errors.append(err)
+            print(f"# leg FAILED {err}", file=sys.stderr)
+
+    tps = extras.pop("decode_tps", None)
+    if tps is None:
+        print(json.dumps({"metric": "bench_failed", "value": 0,
+                          "unit": "tokens/s", "vs_baseline": 0,
+                          "errors": errors}))
+        sys.exit(1)
+
+    if "next_token_ms_fill1975" in extras:
+        extras["decode_tps_fill1975"] = round(
+            1000.0 / extras["next_token_ms_fill1975"], 2)
+    if "ttft_1975_ms" in extras:
+        extras["ttft_vs_baseline"] = round(
+            BASELINE_TTFT_MS / max(extras["ttft_1975_ms"], 1e-9), 2)
+    extras["baseline_next_token_ms"] = 41.27
+    extras["baseline_ttft_ms"] = BASELINE_TTFT_MS
+    extras = {k: (round(v, 2) if isinstance(v, float) else v)
+              for k, v in extras.items()}
+    if errors:
+        extras["leg_errors"] = errors
 
     print(json.dumps({
         "metric": "llama2_7b_int4_decode_tokens_per_sec_per_chip",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / BASELINE_DECODE_TPS, 2),
-        "extra": {
-            "next_token_ms": round(ms_per_tok, 2),
-            "next_token_ms_fill1975": round(ms_longfill, 2),
-            "decode_tps_fill1975": round(1000.0 / ms_longfill, 2),
-            "next_token_ms_fill1975_int8kv": round(ms_longfill_i8, 2),
-            "batch8_agg_tokens_per_sec": round(b8_tps, 1),
-            "batch8_step_ms": round(b8_step_ms, 2),
-            "ttft_1975_ms": round(ttft_ms, 1),
-            "ttft_1975_int8kv_ms": round(ttft_i8_ms, 1),
-            "ttft_vs_baseline": round(BASELINE_TTFT_MS / max(ttft_ms, 1e-9), 2),
-            "baseline_next_token_ms": 41.27,
-            "baseline_ttft_ms": BASELINE_TTFT_MS,
-        },
+        "extra": extras,
     }))
 
 

@@ -8,6 +8,10 @@ shift-RoPE, continuous batching, and GSPMD tensor parallelism.
 
 __version__ = "0.1.0"
 
+from .utils import axon_compat as _axon_compat
+
+_axon_compat.apply()
+
 from .core import QuantConfig, QTensor, quantize, dequantize, PRESETS
 from .api import Model
 from .models.config import ModelConfig

@@ -210,6 +210,7 @@ class Model:
                  session_file: Optional[str] = None,
                  kv_dtype="bf16", n_keep: int = 4,
                  n_discard: Optional[int] = None,
+                 mesh=None,
                  **kw) -> List[List[int]]:
         """reference Model.generate (__init__.py:337). Returns full id
         lists (prompt + new tokens), one per input row — or new tokens only
@@ -234,6 +235,28 @@ class Model:
         timings = Timings()
         kvdt = jnp.int8 if kv_dtype in ("int8", jnp.int8) else jnp.bfloat16
         rows = _to_id_list(input_ids)
+        if mesh is not None:
+            # tensor/data-parallel generation over a jax Mesh: one sharded
+            # ragged prefill + one on-device sharded decode loop with the
+            # full sampling stack (reference TP CLI path,
+            # main_run.cpp:571-600 under mpirun). Params are sharded once
+            # and cached on the Model (repeat calls reuse the shards).
+            from .parallel.sharding import shard_params
+            from .parallel.tp import tp_generate
+            assert num_beams == 1, "beam search not supported under mesh"
+            sp = SamplingParams(
+                greedy=not do_sample, temperature=temperature, top_k=top_k,
+                top_p=top_p, repeat_penalty=repetition_penalty)
+            mkey = (id(mesh), id(self.params))
+            if getattr(self, "_mesh_key", None) != mkey:
+                self._mesh_params = shard_params(self.params, self.cfg, mesh)
+                self._mesh_key = mkey
+            outs = tp_generate(self._mesh_params, self.cfg, mesh, rows, sp,
+                               max_new_tokens, max_len, seed, stop_at_eos,
+                               kv_dtype=kvdt, sharded=True)
+            if ignore_prompt:
+                outs = [o[len(r):] for o, r in zip(outs, rows)]
+            return outs
         hooked = (streamer is not None or stopping_criteria is not None
                   or interactive or session_file is not None)
         if session_file is not None:

@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--prompt", default="Once upon a time")
     ap.add_argument("--max-new-tokens", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--do-sample", action="store_true",
+                    help="sampled decode (full sampling stack on-device)")
+    ap.add_argument("--temperature", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--repeat-penalty", type=float, default=1.1)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tp", type=int, help="tensor-parallel size "
                     "(default: local device count)")
     ap.add_argument("--dp", type=int, help="data-parallel size")
@@ -49,14 +56,12 @@ def main():
         # some site setups re-register the default accelerator plugin;
         # honor an explicit platform request both ways
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    import jax.numpy as jnp
-    import numpy as np
 
     from neural_tpu.parallel.multihost import (init_distributed, auto_mesh,
                                                is_primary)
-    from neural_tpu.parallel.sharding import shard_params, shard_cache
-    from neural_tpu.parallel.tp import make_tp_step
-    from neural_tpu.runtime import init_cache
+    from neural_tpu.parallel.sharding import shard_params
+    from neural_tpu.parallel.tp import tp_generate
+    from neural_tpu.runtime.sampling import SamplingParams
     import neural_tpu as nt
 
     if args.coordinator or args.num_processes:
@@ -77,37 +82,27 @@ def main():
     else:
         m.init(args.model, weight_dtype=args.weight_dtype)
     params, cfg = m.params, m.cfg
-
     params = shard_params(params, cfg, mesh)
-    dp = mesh.devices.shape[0]
-    cache = shard_cache(init_cache(cfg, dp, args.max_len), mesh)
-    step = make_tp_step(params, cfg, mesh)
 
     ids = m.tokenizer.encode(args.prompt) if m.tokenizer else \
         [int(x) for x in args.prompt.split()]
-    toks = np.tile(np.asarray(ids, np.int32)[None], (dp, 1))
-    start = jnp.zeros((dp,), jnp.int32)
+    dp = mesh.devices.shape[0]
+    sp = SamplingParams(greedy=not args.do_sample,
+                        temperature=args.temperature, top_k=args.top_k,
+                        top_p=args.top_p,
+                        repeat_penalty=args.repeat_penalty)
 
+    # the whole generation is TWO dispatches: one sharded ragged prefill +
+    # one on-device sharded decode scan (per-layer psums ride ICI inside
+    # the loop; no host round trip per token)
     t0 = time.time()
-    logits, cache = step(params, jnp.asarray(toks), start, cache)
-    nxt = jnp.argmax(logits[:, -1], -1)
-    out = [int(np.asarray(nxt)[0])]
-    log(f"first token: {(time.time() - t0) * 1e3:.0f} ms")
-
-    pos = len(ids)
-    t0 = time.time()
-    for _ in range(args.max_new_tokens - 1):
-        logits, cache = step(params, jnp.asarray(nxt, jnp.int32)[:, None],
-                             jnp.full((dp,), pos, jnp.int32), cache)
-        nxt = jnp.argmax(logits[:, -1], -1)
-        tok = int(np.asarray(nxt)[0])
-        out.append(tok)
-        pos += 1
-        if tok == cfg.eos_token_id:
-            break
+    outs = tp_generate(params, cfg, mesh, [ids] * dp, sampling=sp,
+                       max_new_tokens=args.max_new_tokens,
+                       max_len=args.max_len, seed=args.seed, sharded=True)
     dt = time.time() - t0
-    log(f"decode: {len(out) - 1} tokens, "
-        f"{(len(out) - 1) / max(dt, 1e-9):.1f} tok/s")
+    out = outs[0][len(ids):]
+    log(f"generate: {len(out)} tokens in {dt:.2f}s "
+        f"({len(out) / max(dt, 1e-9):.1f} tok/s incl. compile)")
     if m.tokenizer:
         log(args.prompt + m.tokenizer.decode(out))
     else:

@@ -120,3 +120,104 @@ def test_tp8_70b_shape_gqa():
     tp_logits, _ = step(sp, jnp.asarray(tokens), start, sc)
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_tp_decode_loop_greedy_matches_single_device():
+    """On-device TP decode scan (shard_map around the whole loop): greedy
+    tokens must match the single-device decode_loop (reference TP CLI
+    generation, main_run.cpp:571-600 under mpirun)."""
+    from neural_tpu.parallel.tp import make_tp_prefill, make_tp_decode_loop
+    from neural_tpu.runtime.generate import decode_loop, _prefill_ragged
+
+    cfg = tiny_cfg()
+    params = init_random(cfg, quant="q4_0", dtype=jnp.float32)
+    rows = np.array([[3, 14, 15, 9], [7, 1, 2, 5]], np.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+    n_steps = 8
+
+    # single-device reference: ragged prefill + decode loop
+    cache = init_cache(cfg, 2, 32)
+    logits, cache = _prefill_ragged(params, jnp.asarray(rows), lens, cache,
+                                    cfg)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    ref_toks, _ = decode_loop(params, tok0[:, None], lens, cache, cfg,
+                              n_steps)
+
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(params, cfg, mesh)
+    sc = shard_cache(init_cache(cfg, 2, 32), mesh)
+    prefill = make_tp_prefill(params, cfg, mesh)
+    tl, sc = prefill(sp, jnp.asarray(rows), lens, sc)
+    ttok0 = jnp.argmax(tl, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(ttok0), np.asarray(tok0))
+
+    loop = make_tp_decode_loop(params, cfg, mesh, n_steps)
+    tp_toks, _ = loop(sp, ttok0[:, None], lens, sc)
+    np.testing.assert_array_equal(np.asarray(tp_toks), np.asarray(ref_toks))
+
+
+def test_tp_sample_loop():
+    """Sampled TP decode: deterministic given a key, valid token range,
+    and temperature→0 equals the greedy loop."""
+    from neural_tpu.parallel.tp import make_tp_prefill, make_tp_decode_loop
+    from neural_tpu.runtime.sampling import SamplingParams
+
+    cfg = tiny_cfg()
+    params = init_random(cfg, quant="q4_0", dtype=jnp.float32)
+    rows = np.array([[3, 14, 15, 9], [7, 1, 2, 5]], np.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+    n_steps = 6
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(params, cfg, mesh)
+
+    def run(sampling, seed=0):
+        sc = shard_cache(init_cache(cfg, 2, 32), mesh)
+        prefill = make_tp_prefill(params, cfg, mesh)
+        tl, sc = prefill(sp, jnp.asarray(rows), lens, sc)
+        tok0 = jnp.argmax(tl, axis=-1).astype(jnp.int32)
+        loop = make_tp_decode_loop(params, cfg, mesh, n_steps,
+                                   sampling=sampling)
+        hist = jnp.concatenate(
+            [jnp.asarray(rows), tok0[:, None]], axis=1)
+        hvalid = jnp.ones(hist.shape, bool)
+        toks, _ = loop(sp, tok0[:, None], lens, sc,
+                       jax.random.PRNGKey(seed), hist, hvalid)
+        return np.asarray(toks)
+
+    samp = SamplingParams(temperature=0.9, top_k=20, repeat_last_n=5)
+    a = run(samp)
+    b = run(samp)
+    np.testing.assert_array_equal(a, b)          # deterministic
+    assert a.shape == (n_steps, 2)
+    assert ((a >= 0) & (a < cfg.vocab_size)).all()
+
+    cold = run(SamplingParams(temperature=1e-6, top_k=1, repeat_last_n=0,
+                              repeat_penalty=1.0))
+    greedy = run(SamplingParams(greedy=True, repeat_last_n=0,
+                                repeat_penalty=1.0))
+    np.testing.assert_array_equal(cold, greedy)
+
+
+def test_tp_generate_end_to_end():
+    """tp_generate: ragged rows, dp padding, greedy + sampled paths."""
+    from neural_tpu.parallel.tp import tp_generate
+    from neural_tpu.runtime.generate import batched_generate
+    from neural_tpu.runtime.sampling import SamplingParams
+
+    cfg = tiny_cfg()
+    params = init_random(cfg, quant="q4_0", dtype=jnp.float32)
+    mesh = make_mesh(dp=2, tp=4)
+    rows = [[3, 14, 15, 9], [7, 1, 2], [11, 6, 8, 2, 4]]  # 3 rows → pad to 4
+
+    sp = SamplingParams(greedy=True, repeat_last_n=0)
+    outs = tp_generate(params, cfg, mesh, rows, sp, max_new_tokens=6,
+                       stop_at_eos=False)
+    ref = batched_generate(params, cfg, rows, sp, max_new_tokens=6,
+                           stop_at_eos=False)
+    assert [len(o) for o in outs] == [len(r) + 6 for r in rows]
+    assert outs == ref
+
+    sampled = tp_generate(params, cfg, mesh, rows,
+                          SamplingParams(temperature=0.8, top_k=30),
+                          max_new_tokens=6, stop_at_eos=False)
+    assert [len(o) for o in sampled] == [len(r) + 6 for r in rows]
