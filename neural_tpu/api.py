@@ -122,8 +122,22 @@ class Model:
             for f in sorted(_glob.glob(
                     os.path.join(model_name_or_path, "*.safetensors"))):
                 sd.update(stn.load_file(f))
+            # bits from the checkpoint's quantize_config.json (GPTQ covers
+            # 2/3/4/8-bit layouts — reference quant_config.h:21-143)
+            bits = 4
+            qc = getattr(cfg_hf, "quantization_config", None)
+            if isinstance(qc, dict) and "bits" in qc:
+                bits = int(qc["bits"])
+            else:
+                qcp = os.path.join(model_name_or_path,
+                                   "quantize_config.json")
+                if os.path.exists(qcp):
+                    import json as _json
+                    with open(qcp) as fh:
+                        bits = int(_json.load(fh).get("bits", 4))
             self.params = params_from_gptq_state_dict(
-                sd, self.cfg, fmt="awq" if use_awq else "gptq", dtype=jdt)
+                sd, self.cfg, fmt="awq" if use_awq else "gptq", bits=bits,
+                dtype=jdt)
         else:
             from .convert.hf import from_hf_model
             import transformers
@@ -345,6 +359,7 @@ class Model:
         else:
             cache, pos, S = self._session
         eval_ids = list(ids)
+        saved_logits = saved_key = saved_mu = None
         if session_file is not None and first_round \
                 and _os.path.exists(session_file):
             from .convert.checkpoint import load_session
@@ -359,9 +374,18 @@ class Model:
                     and scache.k.dtype == cache.k.dtype):
                 cache, pos = scache, n
                 eval_ids = list(ids[n:])
-                if not eval_ids:   # full match: re-eval the last token
-                    pos -= 1
-                    eval_ids = [ids[-1]]
+                if not eval_ids:
+                    # full match: restore the snapshot's logits + sampler
+                    # RNG/state (reference full-state restore,
+                    # model_utils.cpp:1659 model_set_state_data) — the
+                    # resumed sampled generation is then bit-identical to
+                    # the uninterrupted run, with no re-eval at all
+                    saved_logits = extra.get("logits")
+                    saved_key = extra.get("rng_key")
+                    saved_mu = extra.get("sampler_mu")
+                    if saved_logits is None:  # pre-full-state session file
+                        pos -= 1
+                        eval_ids = [ids[-1]]
         if pos + len(eval_ids) + max_new_tokens > S:
             raise ValueError(
                 f"context overflow: {pos}+{len(eval_ids)}+{max_new_tokens}"
@@ -374,16 +398,28 @@ class Model:
 
         state = SamplerState.init(1, sp)
         key = jax.random.PRNGKey(seed)
-        prompt = jnp.asarray(np.asarray(eval_ids, np.int32)[None, :])
         from .runtime.generate import _plen
-        plen = _plen(self.cfg, [pos + len(eval_ids)])
-        logits, cache = model_step(self.params, prompt,
-                                   jnp.asarray([pos], jnp.int32), cache,
-                                   self.cfg, prompt_len=plen)
-        pos += len(eval_ids)
-        if session_file is not None and first_round:
+        if saved_logits is not None:
+            # full-state resume: no eval needed
+            plen = _plen(self.cfg, [pos])
+            logits = jnp.asarray(saved_logits)[:, None, :]   # [1, 1, V]
+            if saved_key is not None:
+                key = jnp.asarray(saved_key).astype(jnp.uint32)
+            if saved_mu is not None:
+                state = SamplerState(mu=jnp.asarray(saved_mu))
+        else:
+            prompt = jnp.asarray(np.asarray(eval_ids, np.int32)[None, :])
+            plen = _plen(self.cfg, [pos + len(eval_ids)])
+            logits, cache = model_step(self.params, prompt,
+                                       jnp.asarray([pos], jnp.int32), cache,
+                                       self.cfg, prompt_len=plen)
+            pos += len(eval_ids)
+        if session_file is not None and first_round and saved_logits is None:
             from .convert.checkpoint import save_session
-            save_session(session_file, cache, [pos], {"prompt_ids": list(ids)})
+            save_session(session_file, cache, [pos],
+                         {"prompt_ids": list(ids)},
+                         logits=logits[:, -1], rng_key=key,
+                         sampler_mu=state.mu)
         full = list(ids) + []
         for i in range(max_new_tokens):
             key, sub = jax.random.split(key)
@@ -454,7 +490,8 @@ class Model:
     def transcribe_file(self, wav_path: str, prompt_ids=None,
                         max_new_tokens: int = 224, timestamps: bool = False,
                         language=None, task: str = "transcribe",
-                        num_beams: int = 1, length_penalty: float = 1.0):
+                        num_beams: int = 1, length_penalty: float = 1.0,
+                        token_timestamps: bool = False):
         """WAV file → token ids (reference: whisper CLI audio_run.cpp).
 
         ``timestamps=True``: long-form mode — the audio is processed in
@@ -487,9 +524,15 @@ class Model:
                     f"<|{language}|>")
             prompt = wh.build_forced_prompt(self.cfg, lang_tok, task,
                                             timestamps)
-        if timestamps:
-            return wh.transcribe_segments(self.params, self.cfg, mel,
-                                          prompt, max_new_tokens)
+        if timestamps or token_timestamps:
+            text_fn = None
+            if self.tokenizer is not None:
+                text_fn = lambda i: self.tokenizer.decode([i])
+            return wh.transcribe_segments(
+                self.params, self.cfg, mel, prompt, max_new_tokens,
+                token_timestamps=token_timestamps,
+                audio=audio if token_timestamps else None,
+                token_text_fn=text_fn)
         if num_beams > 1:
             return wh.transcribe_ids_beam(self.params, self.cfg, mel,
                                           prompt, num_beams,

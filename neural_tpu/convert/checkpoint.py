@@ -163,20 +163,47 @@ def load_checkpoint(path: str, to_jnp: bool = True
 # -- session state (KV cache + generation position) -------------------------
 
 
-def save_session(path: str, cache, lengths, extra: Optional[dict] = None):
-    """Snapshot the inference state (reference model_save_session_file)."""
-    from ..runtime.kvcache import KVCache
+def save_session(path: str, cache, lengths, extra: Optional[dict] = None,
+                 logits=None, rng_key=None, sampler_mu=None):
+    """Snapshot the inference state (reference model_save_session_file).
+
+    Beyond the KV cache + positions, the FULL state matches the
+    reference's snapshot (model_utils.cpp:1551-1773 serializes rng,
+    logits and kv): ``logits`` — the last step's [B, V] logits, so a
+    resumed generation needs no re-eval; ``rng_key`` — the sampler's PRNG
+    key at the snapshot point; ``sampler_mu`` — mirostat state. With all
+    three, a resumed SAMPLED generation is bit-identical to the
+    uninterrupted run."""
     state = {"k": cache.k, "v": cache.v}
     if cache.k_scale is not None:
         state["k_scale"] = cache.k_scale
         state["v_scale"] = cache.v_scale
     state["lengths"] = jnp.asarray(np.asarray(lengths))
+    if logits is not None:
+        state["logits"] = jnp.asarray(logits)
+    if rng_key is not None:
+        state["rng_key"] = jnp.asarray(
+            jax.random.key_data(rng_key) if jnp.issubdtype(
+                rng_key.dtype, jax.dtypes.prng_key) else rng_key)
+    if sampler_mu is not None:
+        state["sampler_mu"] = jnp.asarray(sampler_mu)
     save_checkpoint(path, state, None, extra)
 
 
 def load_session(path: str):
     from ..runtime.kvcache import KVCache
     state, _, extra = load_checkpoint(path)
-    cache = KVCache(state["k"], state["v"], state.get("k_scale"),
-                    state.get("v_scale"))
+
+    def _scale(a):
+        # compat: sessions saved before the flat scale layout stored
+        # [L, B, Hkv, 8, S] f32 (8-replicated rows); squeeze + downcast
+        if a is not None and a.ndim == 5:
+            a = a[:, :, :, 0].astype(jnp.bfloat16)
+        return a
+    cache = KVCache(state["k"], state["v"], _scale(state.get("k_scale")),
+                    _scale(state.get("v_scale")))
+    extra = dict(extra or {})
+    for aux in ("logits", "rng_key", "sampler_mu"):
+        if aux in state:
+            extra[aux] = state[aux]
     return cache, np.asarray(state["lengths"]), extra

@@ -44,16 +44,59 @@ def unpack_int32_nibbles(x: np.ndarray, axis: int,
     return nib.reshape(shape).astype(np.uint8)
 
 
+def unpack_int32_fields(x: np.ndarray, bits: int, axis: int) -> np.ndarray:
+    """AutoGPTQ word unpack for bits ∈ {2, 3, 4, 8}: int32 array →
+    uint8 codes expanded ``32//bits``x (or 32 values per 3 words for
+    3-bit) along ``axis``, LSB-first.
+
+    Matches the AutoGPTQ ``pack()`` layouts the reference's quantized-model
+    importers consume (convert_quantized_llama.py:31-101 +
+    quant_config.h:21-143 quant_bits): 2/4/8-bit pack 32/bits values per
+    word; 3-bit packs 32 values per 3 words with the two straddled values
+    split across word boundaries (value 10: 2 low bits at word0[30:32] +
+    1 high bit at word1[0]; value 21: 1 low bit at word1[31] + 2 high
+    bits at word2[0:2])."""
+    if bits in (2, 4, 8):
+        per = 32 // bits
+        x = x.astype(np.uint32)
+        shifts = np.arange(per, dtype=np.uint32) * bits
+        v = (x[..., None] >> shifts) & ((1 << bits) - 1)
+        v = np.moveaxis(v, -1, axis + 1 if axis >= 0 else axis)
+        shape = list(x.shape)
+        shape[axis] *= per
+        return v.reshape(shape).astype(np.uint8)
+    assert bits == 3, bits
+    x = np.moveaxis(x, axis, 0).astype(np.uint32)
+    assert x.shape[0] % 3 == 0, x.shape
+    w = x.reshape(x.shape[0] // 3, 3, *x.shape[1:])
+    w0, w1, w2 = w[:, 0], w[:, 1], w[:, 2]
+    out = np.empty((w.shape[0], 32, *x.shape[1:]), np.uint8)
+    for j in range(10):
+        out[:, j] = (w0 >> (3 * j)) & 7
+    out[:, 10] = ((w0 >> 30) & 3) | ((w1 & 1) << 2).astype(np.uint32)
+    for j in range(10):
+        out[:, 11 + j] = (w1 >> (3 * j + 1)) & 7
+    out[:, 21] = ((w1 >> 31) & 1) | ((w2 & 3) << 1).astype(np.uint32)
+    for j in range(10):
+        out[:, 22 + j] = (w2 >> (3 * j + 2)) & 7
+    out = out.reshape(w.shape[0] * 32, *x.shape[1:])
+    return np.moveaxis(out, 0, axis)
+
+
 def gptq_layer_to_qtensor(qweight: np.ndarray, qzeros: np.ndarray,
                           scales: np.ndarray, g_idx: Optional[np.ndarray],
                           bits: int = 4, zero_plus_one: bool = True,
                           fmt: str = "gptq") -> QTensor:
-    """One quantized linear → QTensor ([K, N], groups along K)."""
-    assert bits == 4, "only 4-bit GPTQ/AWQ import supported"
+    """One quantized linear → QTensor ([K, N], groups along K).
+
+    GPTQ supports bits ∈ {2, 3, 4, 8} (the reference quant framework's
+    widths, quant_config.h:21-143); AWQ GEMM checkpoints are 4-bit."""
     if fmt == "gptq":
-        codes = unpack_int32_nibbles(qweight, axis=0)          # [K, N]
-        zeros = unpack_int32_nibbles(qzeros, axis=1)           # [G, N]
+        assert bits in (2, 3, 4, 8), bits
+        codes = unpack_int32_fields(qweight, bits, axis=0)     # [K, N]
+        zeros = unpack_int32_fields(qzeros, bits, axis=1)      # [G, N]
     elif fmt == "awq":
+        assert bits == 4, "AWQ GEMM checkpoints are 4-bit"
         codes = unpack_int32_nibbles(qweight, axis=1, order=AWQ_ORDER)
         zeros = unpack_int32_nibbles(qzeros, axis=1, order=AWQ_ORDER)
     else:
@@ -76,8 +119,8 @@ def gptq_layer_to_qtensor(qweight: np.ndarray, qzeros: np.ndarray,
             assert np.array_equal(g_idx[perm], np.arange(K) // g), \
                 "g_idx groups are not uniformly sized"
 
-    cfg = QuantConfig(bits=4, kind="int", group_size=g, sym=False)
-    planes = pack_codes(jnp.asarray(codes), 4, g)
+    cfg = QuantConfig(bits=bits, kind="int", group_size=g, sym=False)
+    planes = pack_codes(jnp.asarray(codes), bits, g)
     return QTensor(planes, jnp.asarray(scales), jnp.asarray(zeros),
                    None if perm is None else jnp.asarray(perm), cfg)
 
@@ -87,8 +130,8 @@ def gptq_reference_dequant(qweight, qzeros, scales, g_idx=None, bits=4,
     """Independent numpy dequantization (the published GPTQ formula:
     w[k, n] = (q[k, n] - z[g(k), n]) * s[g(k), n]) — test oracle."""
     if fmt == "gptq":
-        codes = unpack_int32_nibbles(qweight, axis=0)
-        zeros = unpack_int32_nibbles(qzeros, axis=1)
+        codes = unpack_int32_fields(qweight, bits, axis=0)
+        zeros = unpack_int32_fields(qzeros, bits, axis=1)
     else:
         codes = unpack_int32_nibbles(qweight, axis=1, order=AWQ_ORDER)
         zeros = unpack_int32_nibbles(qzeros, axis=1, order=AWQ_ORDER)

@@ -240,7 +240,7 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
                lidx, start, positions, inv_freqs, slopes, tp_axis=None,
                sliding=None, table=None, sp_axis=None, prompt_len=None):
     """x: [B, T, D]; k_all/v_all: FULL stacked caches [L, B, Hkv, S, Dh]
-    (head-major, bf16 or int8 with scales [L, B, Hkv, 8, S]); ``lidx`` is
+    (head-major, bf16 or int8 with flat bf16 scales [L, B, Hkv, S]); ``lidx`` is
     this layer's index; start: [B] int32.
 
     Mirrors the per-layer attention block of llama.cpp:217-592 (fused QKV →
@@ -331,14 +331,13 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         kt, ks_new = quantize_kv(kt)                 # scales [B, Hkv, T]
         vt, vs_new = quantize_kv(vt)
 
-        def upds(sc_all, new, starts):                # sc_all [L,B,Hkv,8,S]
+        def upds(sc_all, new, starts):                # sc_all [L,B,Hkv,S]
             B_, H_, T_ = new.shape
-            rep = jnp.broadcast_to(new[:, :, None, :], (B_, H_, 8, T_))
-            rep = rep.astype(sc_all.dtype)
+            new = new.astype(sc_all.dtype)
             for b in range(B_):
                 sc_all = jax.lax.dynamic_update_slice(
-                    sc_all, rep[b][None, None],
-                    (lidx, b, 0, 0, starts[b]))
+                    sc_all, new[b][None, None],
+                    (lidx, b, 0, starts[b]))
             return sc_all
         ks_all = upds(ks_all, ks_new, start)
         vs_all = upds(vs_all, vs_new, start)

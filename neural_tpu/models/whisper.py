@@ -253,15 +253,32 @@ def decode_step(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
     return logits, state
 
 
+def _ts_probs(row: np.ndarray, ts_begin: int):
+    """(pt, ptsum, tid) of one step's logits row — the timestamp-token
+    probability stats the reference records per sampled token
+    (whisper.cpp whisper_process_logits → token.pt/ptsum/tid)."""
+    row = row - row.max()
+    p = np.exp(row)
+    p /= p.sum()
+    tail = p[ts_begin:]
+    tid = int(tail.argmax()) + ts_begin
+    return float(tail.max()), float(tail.sum()), tid
+
+
 def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
                    prompt_ids: Sequence[int], max_new_tokens: int = 64,
                    suppress_ids: Sequence[int] = (),
-                   force_first: Optional[int] = None) -> List[int]:
+                   force_first: Optional[int] = None,
+                   collect_ts: Optional[int] = None) -> List[int]:
     """Greedy decode (reference whisper_full greedy path). ``prompt_ids``
     are the forced SOT/language/task tokens; ``suppress_ids`` are masked
     from every step (e.g. the <|notimestamps|> token in timestamp mode);
     ``force_first`` pins the first sampled token (whisper's rule that a
-    timestamped window opens with a timestamp token)."""
+    timestamped window opens with a timestamp token).
+
+    ``collect_ts``: the timestamp-begin token id; when set, returns
+    (ids, info) where info[i] = (pt, ptsum, tid) per generated token —
+    the raw material for token-level timestamps."""
     enc = encode(params, jnp.asarray(mel)[None], cfg)
     state = init_decoder_state(params, enc, cfg)
     toks = jnp.asarray(np.asarray(prompt_ids, np.int32)[None, :])
@@ -275,8 +292,12 @@ def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
         return int(row.argmax())
 
     out = list(prompt_ids)
-    nxt = force_first if force_first is not None else pick(logits[0, -1])
+    info = []
+    row = np.asarray(logits[0, -1], np.float32)
+    nxt = force_first if force_first is not None else pick(row)
     out.append(nxt)
+    if collect_ts is not None:
+        info.append(_ts_probs(row, collect_ts))
     pos = len(prompt_ids)
     for _ in range(max_new_tokens - 1):
         if nxt == cfg.eos_token_id:
@@ -284,9 +305,14 @@ def transcribe_ids(params: Params, cfg: WhisperConfig, mel: np.ndarray,
         logits, state = decode_step(
             params, jnp.asarray([[nxt]], jnp.int32),
             jnp.asarray([pos], jnp.int32), state, cfg)
-        nxt = pick(logits[0, -1])
+        row = np.asarray(logits[0, -1], np.float32)
+        nxt = pick(row)
         out.append(nxt)
+        if collect_ts is not None:
+            info.append(_ts_probs(row, collect_ts))
         pos += 1
+    if collect_ts is not None:
+        return out, info
     return out
 
 
@@ -499,17 +525,190 @@ def segments_from_tokens(ids: Sequence[int], ts_begin: int, offset_s: float,
     return segs, last_ts
 
 
+# ---------------------------------------------------------------------------
+# Token-level timestamps (reference whisper_exp_compute_token_level_timestamps,
+# whisper.cpp:2910 definition, applied per new segment at :4102-4147)
+# ---------------------------------------------------------------------------
+
+
+def voice_length(text: str) -> float:
+    """Heuristic spoken length of a token's text (reference voice_length):
+    spaces ~0, punctuation/digits long, letters 1."""
+    res = 0.0
+    for c in text:
+        if c == " ":
+            res += 0.01
+        elif c == ",":
+            res += 2.0
+        elif c in ".!?" or c.isdigit():
+            res += 3.0
+        else:
+            res += 1.0
+    return res
+
+
+def signal_energy(audio: np.ndarray, hw: int = 32) -> np.ndarray:
+    """Smoothed |amplitude| per sample (reference get_signal_energy)."""
+    a = np.abs(np.asarray(audio, np.float32).reshape(-1))
+    kernel = np.ones(2 * hw + 1, np.float32) / (2 * hw + 1)
+    return np.convolve(a, kernel, mode="same")
+
+
+class TokenTimestamper:
+    """Carries the cross-segment anchors (reference state->t_beg /
+    t_last / tid_last) and computes per-token (t0, t1) seconds for one
+    segment at a time."""
+
+    def __init__(self, ts_begin: int, thold_pt: float = 0.01,
+                 thold_ptsum: float = 0.01,
+                 energy: Optional[np.ndarray] = None,
+                 sample_rate: int = SAMPLE_RATE):
+        self.ts_begin = ts_begin
+        self.thold_pt = thold_pt
+        self.thold_ptsum = thold_ptsum
+        self.energy = energy
+        self.sr = sample_rate
+        self.t_beg = 0.0
+        self.t_last = 0.0
+        self.tid_last = ts_begin
+
+    def segment(self, ids: Sequence[int], info, texts: Sequence[str],
+                t0: float, t1: float) -> List[Tuple[float, float]]:
+        """ids/info/texts: the segment's tokens (incl. any timestamp
+        tokens), their (pt, ptsum, tid) stats, and their decoded text;
+        t0/t1: segment bounds in seconds. Returns [(t0_s, t1_s)] per
+        token — anchor on confidently-sampled timestamp probabilities,
+        proportionally split the gaps by voice length, then snap to
+        signal energy when audio is available."""
+        n = len(ids)
+        if n == 0:
+            return []
+        if n == 1:
+            self.t_last = t1
+            return [(t0, t1)]
+        UNSET = -1.0
+        tok_t0 = [UNSET] * n
+        tok_t1 = [UNSET] * n
+
+        if ids[0] == self.ts_begin:
+            tok_t0[0] = tok_t1[0] = t0
+            tok_t0[1] = t0
+            self.t_beg = t0
+            self.t_last = t0
+            self.tid_last = self.ts_begin
+        else:
+            tok_t0[0] = self.t_last
+
+        for j in range(n):
+            pt, ptsum, tid = info[j]
+            tt = self.t_beg + TS_STEP * (tid - self.ts_begin)
+            if (pt > self.thold_pt and ptsum > self.thold_ptsum
+                    and tid > self.tid_last and tt <= t1):
+                if j > 0:
+                    tok_t1[j - 1] = tt
+                tok_t0[j] = tt
+                self.tid_last = tid
+        tok_t1[n - 2] = t1
+        tok_t0[n - 1] = t1
+        tok_t1[n - 1] = t1
+        self.t_last = t1
+
+        # proportional fill of unknown intervals by voice length
+        vlens = [voice_length(t) for t in texts]
+        p0 = 0
+        while True:
+            p1 = p0
+            while p1 < n and tok_t1[p1] < 0:
+                p1 += 1
+            if p1 >= n:
+                p1 = n - 1
+            if p1 > p0:
+                psum = sum(vlens[p0:p1 + 1]) or 1.0
+                dt = tok_t1[p1] - tok_t0[p0]
+                for j in range(p0 + 1, p1 + 1):
+                    ct = tok_t0[j - 1] + dt * vlens[j - 1] / psum
+                    tok_t1[j - 1] = ct
+                    tok_t0[j] = ct
+            p0 = p1 + 1
+            if p0 >= n:
+                break
+        # monotonicity fixups (reference "fix up (just in case)")
+        for j in range(n - 1):
+            if tok_t1[j] < 0:
+                tok_t0[j + 1] = tok_t1[j]
+            if j > 0 and tok_t1[j - 1] > tok_t0[j]:
+                tok_t0[j] = tok_t1[j - 1]
+                tok_t1[j] = max(tok_t0[j], tok_t1[j])
+
+        if self.energy is not None:
+            self._vad(ids, tok_t0, tok_t1)
+        return list(zip(tok_t0, tok_t1))
+
+    def _vad(self, ids, tok_t0, tok_t1):
+        """Expand/contract token intervals to the local voice activity
+        (reference VAD block of the same function)."""
+        e = self.energy
+        ns_total = len(e)
+        hw = self.sr // 8
+
+        def to_sample(t):
+            return min(max(int(round(t * self.sr)), 0), ns_total - 1)
+
+        n = len(ids)
+        for j in range(n):
+            if ids[j] >= self.ts_begin:
+                continue
+            s0, s1 = to_sample(tok_t0[j]), to_sample(tok_t1[j])
+            ss0, ss1 = max(s0 - hw, 0), min(s1 + hw, ns_total)
+            if ss1 <= ss0:
+                continue
+            thold = 0.5 * float(e[ss0:ss1].sum()) / (ss1 - ss0)
+
+            k = s0
+            if e[k] > thold and j > 0:
+                while k > 0 and e[k] > thold:
+                    k -= 1
+                t = k / self.sr
+                tok_t0[j] = max(t, tok_t1[j - 1])
+            else:
+                while k < s1 and e[k] < thold:
+                    k += 1
+                tok_t0[j] = k / self.sr
+                s0 = k
+
+            k = s1
+            if e[k] > thold:
+                while k < ns_total - 1 and e[k] > thold:
+                    k += 1
+                t = k / self.sr
+                tok_t1[j] = min(t, tok_t0[j + 1]) if j < n - 1 \
+                    and tok_t0[j + 1] >= 0 else t
+            else:
+                while k > s0 and e[k] < thold:
+                    k -= 1
+                tok_t1[j] = k / self.sr
+
+
 def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
                         prompt_ids: Sequence[int],
                         max_new_tokens: int = 224,
                         ts_begin: Optional[int] = None,
-                        max_windows: Optional[int] = None):
+                        max_windows: Optional[int] = None,
+                        token_timestamps: bool = False,
+                        audio: Optional[np.ndarray] = None,
+                        token_text_fn=None):
     """Long-audio transcription: 30 s windows advanced by the last decoded
     timestamp, with per-segment (start, end) times — the TPU-side analog of
     the reference's whisper_full seek loop (models/whisper/whisper.cpp).
 
     mel: [n_mels, T_frames] (any length). Returns a list of
-    (start_s, end_s, token_ids) segments.
+    (start_s, end_s, token_ids) segments — or, with
+    ``token_timestamps=True``, (start_s, end_s, token_ids, token_times)
+    where token_times[i] = (t0_s, t1_s) per text token (reference
+    params.token_timestamps → whisper_exp_compute_token_level_timestamps,
+    whisper.cpp:4102-4147). ``audio`` (16 kHz samples) enables the
+    energy-VAD snap; ``token_text_fn`` maps an id to its text for the
+    voice-length split (defaults to a uniform length).
     """
     if ts_begin is None:
         ts_begin = timestamp_begin(cfg)
@@ -524,6 +723,11 @@ def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
     segments = []
     seek = 0
     n_win = 0
+    stamper = None
+    if token_timestamps:
+        energy = signal_energy(audio) if audio is not None else None
+        stamper = TokenTimestamper(ts_begin, energy=energy)
+        text_fn = token_text_fn or (lambda i: "x")
     while seek < n_frames and (max_windows is None or n_win < max_windows):
         n_win += 1
         window = mel[:, seek:seek + win]
@@ -534,11 +738,37 @@ def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
                             if window.size else 0.0)
         ids = transcribe_ids(params, cfg, window, prompt_ids,
                              max_new_tokens, suppress_ids=(no_ts,),
-                             force_first=ts_begin)
+                             force_first=ts_begin,
+                             collect_ts=ts_begin if token_timestamps
+                             else None)
+        if token_timestamps:
+            ids, info = ids
         new = ids[len(prompt_ids):]
+        offset_s = seek * MEL_HOP_S
         segs, last_ts = segments_from_tokens(
-            new, ts_begin, seek * MEL_HOP_S, cfg.eos_token_id)
-        segments.extend(segs)
+            new, ts_begin, offset_s, cfg.eos_token_id)
+        if token_timestamps:
+            # re-scan with indices so each segment's text tokens map back
+            # to their per-step (pt, ptsum, tid) stats
+            idx_segs, cur = [], []
+            for i, t in enumerate(new):
+                if t == cfg.eos_token_id:
+                    break
+                if t >= ts_begin:
+                    if cur:
+                        idx_segs.append(cur)
+                        cur = []
+                else:
+                    cur.append(i)
+            if cur:
+                idx_segs.append(cur)
+            for (t0, t1, text_ids), idxs in zip(segs, idx_segs):
+                times = stamper.segment(
+                    [new[i] for i in idxs], [info[i] for i in idxs],
+                    [text_fn(new[i]) for i in idxs], t0, t1)
+                segments.append((t0, t1, text_ids, times))
+        else:
+            segments.extend(segs)
         if last_ts is not None and last_ts > 0:
             seek += int(round(last_ts / MEL_HOP_S))
         else:

@@ -8,9 +8,13 @@ over a packed, optionally int8 KV cache, GQA/MQA, ALiBi, causal masks).
 Cache layout is head-major ``[B, Hkv, S, Dh]`` (the analog of the
 reference's NTILE-reordered packed KV, mha_dense.h:35 ATTN_FWD_LAYOUT):
 per-head KV is contiguous, so Pallas S-blocks tile legally and stream at
-full HBM bandwidth. int8 KV scales are stored ``[B, Hkv, 8, S]`` — the
-per-(token, head) scale replicated across 8 sublanes so a [1, blk] row
-slice is alignment-legal inside the kernel.
+full HBM bandwidth. int8 KV scales are stored FLAT ``[B, Hkv, S]`` in
+bf16 — 2 bytes per (token, head) next to 128 bytes of int8 codes (~1.6%
+overhead). Tile legality comes from batching KV heads per grid step: the
+scale block is [hb, blk_s] with hb a multiple of 8 (or the full Hkv), so
+the (Hkv, S) trailing dims tile legally. (The previous layout replicated
+an f32 scale across 8 sublanes — 32 B/token-head, 25% of the int8 KV
+stream; reference packed int8-KV layouts: mha_dense.h:125-142.)
 
 Paths:
 - ``attend_xla``: jnp reference (runs everywhere; the test oracle — analog
@@ -34,10 +38,15 @@ NEG = -1e30
 
 
 def quantize_kv(x: jnp.ndarray):
-    """[..., Dh] → (int8 values, f32 scales [...]). Per-token-head absmax."""
+    """[..., Dh] → (int8 values, bf16 scales [...]). Per-token-head absmax.
+
+    The scale is rounded to bf16 FIRST and the codes quantized against the
+    rounded value, so (codes, scale) stay a consistent pair — the bf16
+    storage adds no systematic dequant bias on top of the int8 rounding."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scale = absmax / 127.0 + 1e-9
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+    scale = (absmax / 127.0 + 1e-9).astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32)
+                           / scale.astype(jnp.float32)[..., None]),
                  -127, 127).astype(jnp.int8)
     return q, scale
 
@@ -50,7 +59,7 @@ def _i8f(x):
 def attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
                slopes=None, sliding=None, prefix_len=None):
     """Reference attention (jnp). q: [B, T, Hq, Dh]; k/v_cache:
-    [B, Hkv, S, Dh] (bf16 or int8, scales [B, Hkv, 8, S]);
+    [B, Hkv, S, Dh] (bf16 or int8, scales [B, Hkv, S]);
     positions [B, T]; ``prefix_len`` [B] enables the GLM prefix-LM mask
     (keys before prefix_len-1 are visible to every query — reference:
     chatglm.cpp:205-216). Returns [B, T, Hq*Dh] (f32 accumulation)."""
@@ -59,8 +68,10 @@ def attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
     G = Hq // Hkv
 
     if k_scale is not None:
-        kh = k_cache.astype(jnp.float32) * k_scale[:, :, 0, :, None]
-        vh = v_cache.astype(jnp.float32) * v_scale[:, :, 0, :, None]
+        kh = k_cache.astype(jnp.float32) * \
+            k_scale.astype(jnp.float32)[..., None]
+        vh = v_cache.astype(jnp.float32) * \
+            v_scale.astype(jnp.float32)[..., None]
     else:
         kh = k_cache.astype(jnp.float32)
         vh = v_cache.astype(jnp.float32)
@@ -122,7 +133,7 @@ def _decode_kernel(lens_ref, win_ref, *refs, blk_s: int, n_sblk: int = 0,
     k_ref = refs[i]; i += 1          # [(1,) 1, hb, blk_s, Dh]
     v_ref = refs[i]; i += 1
     if kv_int8:
-        ks_ref = refs[i]; i += 1     # [(1,) 1, hb, 8, blk_s]
+        ks_ref = refs[i]; i += 1     # [(1,) 1, hb, blk_s] bf16
         vs_ref = refs[i]; i += 1
     out_ref = refs[i]                # [1, hb, G8, Dh]
     m_ref, l_ref, acc_ref = refs[i + 1], refs[i + 2], refs[i + 3]
@@ -148,8 +159,8 @@ def _decode_kernel(lens_ref, win_ref, *refs, blk_s: int, n_sblk: int = 0,
         ks_all = k_ref[...].reshape(hb, blk_s, Dh)
         vs_all = v_ref[...].reshape(hb, blk_s, Dh)
         if kv_int8:
-            kssc = ks_ref[...].reshape(hb, 8, blk_s)
-            vssc = vs_ref[...].reshape(hb, 8, blk_s)
+            kssc = ks_ref[...].reshape(hb, blk_s)
+            vssc = vs_ref[...].reshape(hb, blk_s)
         if has_slopes:
             sl_all = sl_ref[...].astype(jnp.float32)  # [hb, G8]
         pos = blk_start + jax.lax.broadcasted_iota(jnp.int32, (G8, blk_s),
@@ -171,7 +182,7 @@ def _decode_kernel(lens_ref, win_ref, *refs, blk_s: int, n_sblk: int = 0,
                 d = jax.lax.dot_general(q8, ks_all[h],
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.int32)
-                ks = kssc[h][0:1, :]                          # [1, blk_s]
+                ks = kssc[h:h + 1, :].astype(jnp.float32)     # [1, blk_s]
                 s = d.astype(jnp.float32) * (qa * (scale / 127.0)) * ks
             else:
                 # bf16 MXU dot, f32 accumulation (f32 dots run as multiple
@@ -194,7 +205,7 @@ def _decode_kernel(lens_ref, win_ref, *refs, blk_s: int, n_sblk: int = 0,
             l_ref[row, :] = l_ref[row, :] * alpha + jnp.sum(
                 p, -1, keepdims=True)
             if kv_int8:
-                p = p * vssc[h][0:1, :]
+                p = p * vssc[h:h + 1, :].astype(jnp.float32)
                 v = _i8f(vs_all[h])
                 pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -220,7 +231,7 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
                  window=0, interpret=False, lidx=None, hb=None):
     """q: [B, Hq, Dh]; caches [B, Hkv, S, Dh] — or the FULL stacked
     [L, B, Hkv, S, Dh] with ``lidx`` selecting the layer via a prefetched
-    index (zero-copy under a layer scan); scales [(L,) B, Hkv, 8, S] or
+    index (zero-copy under a layer scan); scales [(L,) B, Hkv, S] bf16 or
     None; lengths [B] (keys valid at positions < length) → [B, Hq, Dh].
 
     ``window`` may be a python int OR a traced int32 scalar (Gemma-2's
@@ -260,6 +271,10 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
         want = 8 if (not kv_int8 and blk_s >= 512) else 16
         hb = next((h for h in (want, 16, 8, 4, 2, 1) if h <= want
                    and Hkv % h == 0), 1)
+    if kv_int8 and hb % 8 and hb != Hkv:
+        # the flat [Hkv, S] scale tiles need the head block to be a
+        # multiple of 8 sublanes (or the whole head dim)
+        hb = next((h for h in (16, 8) if Hkv % h == 0), Hkv)
 
     def cmap(f):
         # cache block index map; stacked mode prepends the layer index,
@@ -293,10 +308,10 @@ def flash_decode(q, k_cache, v_cache, k_scale, v_scale, lengths,
     operands += [k_cache, v_cache]
     if kv_int8:
         in_specs += [
-            pl.BlockSpec((*lead, 1, hb, 8, blk_s),
-                         cmap(lambda b, h, s: (b, h, 0, s))),
-            pl.BlockSpec((*lead, 1, hb, 8, blk_s),
-                         cmap(lambda b, h, s: (b, h, 0, s)))]
+            pl.BlockSpec((*lead, 1, hb, blk_s),
+                         cmap(lambda b, h, s: (b, h, s))),
+            pl.BlockSpec((*lead, 1, hb, blk_s),
+                         cmap(lambda b, h, s: (b, h, s)))]
         operands += [k_scale, v_scale]
     scalars = [lengths.astype(jnp.int32),
                jnp.asarray(window, jnp.int32).reshape(1)]
@@ -437,7 +452,7 @@ def _prefill_kernel(starts_ref, win_ref, sl_ref, pref_ref, *refs, blk_t: int,
     k_ref = refs[i]; i += 1
     v_ref = refs[i]; i += 1
     if kv_int8:
-        ks_ref = refs[i]; i += 1     # [1, 1, 8, blk_s]
+        ks_ref = refs[i]; i += 1     # [1, 1, blk_s] bf16 (per-q-head row)
         vs_ref = refs[i]; i += 1
     out_ref = refs[i]
     m_ref, l_ref, acc_ref = refs[i + 1], refs[i + 2], refs[i + 3]
@@ -480,7 +495,7 @@ def _prefill_kernel(starts_ref, win_ref, sl_ref, pref_ref, *refs, blk_t: int,
             q8 = jnp.round(qf * (127.0 / qa)).astype(jnp.int8)
             d = jax.lax.dot_general(q8, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            ks = ks_ref[...].reshape(8, blk_s)[0:1, :]         # [1, blk_s]
+            ks = ks_ref[...].reshape(1, blk_s).astype(jnp.float32)
             sc = d.astype(jnp.float32) * (qa * (scale / 127.0)) * ks
         else:
             sc = jax.lax.dot_general(
@@ -508,7 +523,7 @@ def _prefill_kernel(starts_ref, win_ref, sl_ref, pref_ref, *refs, blk_t: int,
         p = jnp.exp(sc - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, -1, keepdims=True)
         if kv_int8:
-            vs = vs_ref[...].reshape(8, blk_s)[0:1, :]
+            vs = vs_ref[...].reshape(1, blk_s).astype(jnp.float32)
             p = p * vs                                  # fold v scale
         v = v_ref[...].reshape(blk_s, Dh)
         if kv_int8:
@@ -534,7 +549,7 @@ def flash_prefill(q, k_cache, v_cache, k_scale=None, v_scale=None,
                   softcap=0.0, scale=None, window=0, interpret=False,
                   prefix_len=None):
     """Causal flash attention for prefill. q: [B, T, Hq, Dh];
-    caches [B, Hkv, S, Dh] (bf16 or int8 with scales [B, Hkv, 8, S];
+    caches [B, Hkv, S, Dh] (bf16 or int8 with scales [B, Hkv, S] bf16;
     already containing this prefill's keys); starts [B] (query row t sits
     at absolute position starts[b]+t); ``window`` may be a python int or a
     traced scalar; ``slopes`` [Hq] enables fused ALiBi; ``prefix_len`` [B]
@@ -587,8 +602,7 @@ def flash_prefill(q, k_cache, v_cache, k_scale=None, v_scale=None,
                 clamp_s(bh, tb, sb, starts, win, pref), 0)
 
     def sc_map(bh, tb, sb, starts, win, _sl, pref, *_):
-        return (bh // Hq, (bh % Hq) // G, 0,
-                clamp_s(bh, tb, sb, starts, win, pref))
+        return (bh, 0, clamp_s(bh, tb, sb, starts, win, pref))
     in_specs = [
         pl.BlockSpec((1, blk_t, Dh), lambda bh, tb, sb, *_: (bh, tb, 0)),
         pl.BlockSpec((1, 1, blk_s, Dh), kv_map),
@@ -596,9 +610,16 @@ def flash_prefill(q, k_cache, v_cache, k_scale=None, v_scale=None,
     ]
     operands = [qs.astype(jnp.bfloat16), k_cache, v_cache]
     if kv_int8:
-        in_specs += [pl.BlockSpec((1, 1, 8, blk_s), sc_map),
-                     pl.BlockSpec((1, 1, 8, blk_s), sc_map)]
-        operands += [k_scale, v_scale]
+        # flat [B, Hkv, S] bf16 scales pre-gathered per QUERY head into
+        # [B*Hq, 1, S] (a ~T*Hq*2-byte copy — trivial next to the KV
+        # stream) so the per-q-head grid can take a tile-legal
+        # [1, 1, blk_s] block (the middle length-1 dim keeps the trailing
+        # (1, S) tile alignment-free)
+        ks_bh = jnp.repeat(k_scale, G, axis=1).reshape(B * Hq, 1, S)
+        vs_bh = jnp.repeat(v_scale, G, axis=1).reshape(B * Hq, 1, S)
+        in_specs += [pl.BlockSpec((1, 1, blk_s), sc_map),
+                     pl.BlockSpec((1, 1, blk_s), sc_map)]
+        operands += [ks_bh, vs_bh]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -11,8 +11,10 @@ to a shared page pool: indirection costs index-map scalar reads, not data
 movement.
 
 Layouts (runtime/paged.py): pools ``[(L,) P, Hkv, ps, Dh]``, int8 scales
-``[(L,) P, Hkv, 8, ps]``, table ``[B, MAXP]`` int32, logical position of
-page ordinal p = ``p*ps + row``.
+FLAT ``[(L,) P, Hkv, ps]`` bf16 (2 B per token-head; the head block hb is
+a multiple of 8 or the full Hkv so the (Hkv, ps) trailing dims tile
+legally), table ``[B, MAXP]`` int32, logical position of page ordinal
+p = ``p*ps + row``.
 """
 from __future__ import annotations
 
@@ -61,6 +63,13 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
         if G8 != G:
             sl = jnp.pad(sl, ((0, 0), (0, G8 - G)))
 
+    # batch KV heads per grid step (same rationale as flash_decode: fewer,
+    # larger DMAs); the flat [Hkv, ps] scale tiles additionally need hb to
+    # be a multiple of 8 sublanes or the whole head dim.
+    hb = next((h for h in (16, 8, 4, 2, 1) if Hkv % h == 0), 1)
+    if kv_int8 and hb % 8 and hb != Hkv:
+        hb = next((h for h in (16, 8) if Hkv % h == 0), Hkv)
+
     def cmap(f):
         # physical page = table[b, clamp(p, first-window-page,
         # last-filled-page)]: ordinals outside the valid range repeat a
@@ -76,25 +85,25 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
         return m
 
     in_specs = [
-        pl.BlockSpec((1, 1, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, hb, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
     ]
     operands = [qg]
     if has_slopes:
-        in_specs.append(pl.BlockSpec((1, G8), lambda b, h, p, *_: (h, 0)))
+        in_specs.append(pl.BlockSpec((hb, G8), lambda b, h, p, *_: (h, 0)))
         operands.append(sl)
     in_specs += [
-        pl.BlockSpec((*lead, 1, 1, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
-        pl.BlockSpec((*lead, 1, 1, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
+        pl.BlockSpec((*lead, 1, hb, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
+        pl.BlockSpec((*lead, 1, hb, ps, Dh), cmap(lambda pg, h: (pg, h, 0, 0))),
     ]
     operands += [k_pool, v_pool]
     if kv_int8:
         in_specs += [
-            pl.BlockSpec((*lead, 1, 1, 8, ps), cmap(lambda pg, h: (pg, h, 0, 0))),
-            pl.BlockSpec((*lead, 1, 1, 8, ps), cmap(lambda pg, h: (pg, h, 0, 0)))]
+            pl.BlockSpec((*lead, 1, hb, ps), cmap(lambda pg, h: (pg, h, 0))),
+            pl.BlockSpec((*lead, 1, hb, ps), cmap(lambda pg, h: (pg, h, 0)))]
         operands += [k_scale, v_scale]
 
     kernel = functools.partial(
-        _paged_decode_kernel, blk_s=ps, kv_int8=kv_int8,
+        _paged_decode_kernel, blk_s=ps, kv_int8=kv_int8, hb=hb,
         softcap=float(softcap), scale=scale, has_slopes=has_slopes,
         stacked=stacked)
 
@@ -113,13 +122,14 @@ def paged_flash_decode(q, k_pool, v_pool, k_scale, v_scale, table, lengths,
         npg = jnp.clip(need, 1, MAXP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(B, Hkv, npg),
+        grid=(B, Hkv // hb, npg),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G8, Dh), lambda b, h, p, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, hb, G8, Dh),
+                               lambda b, h, p, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G8, 1), jnp.float32),
-            pltpu.VMEM((G8, 1), jnp.float32),
-            pltpu.VMEM((G8, Dh), jnp.float32),
+            pltpu.VMEM((hb * G8, 1), jnp.float32),
+            pltpu.VMEM((hb * G8, 1), jnp.float32),
+            pltpu.VMEM((hb * G8, Dh), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -146,10 +156,10 @@ def gather_pages(pool, table):
 
 
 def gather_scales(spool, table):
-    """[P, Hkv, 8, ps] + [B, MAXP] → [B, Hkv, 8, MAXP*ps]."""
-    g = jnp.take(spool, table, axis=0)         # [B, MAXP, Hkv, 8, ps]
-    B, MP, H, e, ps = g.shape
-    return g.transpose(0, 2, 3, 1, 4).reshape(B, H, e, MP * ps)
+    """[P, Hkv, ps] + [B, MAXP] → [B, Hkv, MAXP*ps]."""
+    g = jnp.take(spool, table, axis=0)         # [B, MAXP, Hkv, ps]
+    B, MP, H, ps = g.shape
+    return g.transpose(0, 2, 1, 3).reshape(B, H, MP * ps)
 
 
 def attend_paged(q, k_pool, v_pool, k_scale, v_scale, table, positions, cfg,
@@ -237,22 +247,22 @@ def paged_update_kv(k_pool, v_pool, ks_pool, vs_pool, k_new, v_new, table,
         return pool
 
     def upds(spool, snew):
-        rep = jnp.broadcast_to(snew[:, :, None, :], (B, H, 8, T))
-        rep = rep.astype(spool.dtype)
+        # flat [L, P, Hkv, ps] scales: one row per token-head
+        snew = snew.astype(spool.dtype)
         if T == 1:
             for b in range(B):
                 page = table[b, start[b] // ps]
                 row = start[b] % ps
                 spool = jax.lax.dynamic_update_slice(
-                    spool, rep[b][None, None], (lidx, page, 0, 0, row))
+                    spool, snew[b][None, None], (lidx, page, 0, row))
             return spool
         npages = -(-T // ps)
         for b in range(B):
             for j in range(npages):
-                chunk = rep[b][:, :, j * ps:(j + 1) * ps]
+                chunk = snew[b][:, j * ps:(j + 1) * ps]   # [Hkv, cs]
                 page = table[b, start[b] // ps + j]
                 spool = jax.lax.dynamic_update_slice(
-                    spool, chunk[None, None], (lidx, page, 0, 0, 0))
+                    spool, chunk[None, None], (lidx, page, 0, 0))
         return spool
 
     k_pool = upd(k_pool, k_new)

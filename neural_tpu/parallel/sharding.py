@@ -125,11 +125,14 @@ def param_specs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
     return out
 
 
-def cache_specs() -> P:
-    """KV cache [L, B, Hkv, S, Dh] (and scales [L, B, Hkv, 8, S]): batch
-    over dp, kv-heads over tp (reference analog: kv_cache heads_kv /=
-    world_size, model_utils.cpp:70)."""
-    return P(None, "dp", "tp", None, None)
+def cache_specs():
+    """KVCache spec tree: k/v [L, B, Hkv, S, Dh] and flat int8-KV scales
+    [L, B, Hkv, S] — batch over dp, kv-heads over tp (reference analog:
+    kv_cache heads_kv /= world_size, model_utils.cpp:70)."""
+    from ..runtime.kvcache import KVCache
+    kv = P(None, "dp", "tp", None, None)
+    sc = P(None, "dp", "tp", None)
+    return KVCache(kv, kv, sc, sc)
 
 
 def _to_sharding(mesh: Mesh, spec_tree):
@@ -149,9 +152,10 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
 
 
 def shard_cache(cache, mesh: Mesh):
-    s = NamedSharding(mesh, cache_specs())
-    return type(cache)(*(None if c is None else jax.device_put(c, s)
-                         for c in cache))
+    specs = cache_specs()
+    return type(cache)(*(
+        None if c is None else jax.device_put(c, NamedSharding(mesh, s))
+        for c, s in zip(cache, specs)))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -42,9 +42,7 @@ def make_tp_step(params, cfg: ModelConfig, mesh: Mesh, donate_cache=True):
     """
     pspecs = _aux_specs(params, cfg)
 
-    from ..runtime.kvcache import KVCache
-    cs = cache_specs()
-    cache_tree = KVCache(cs, cs, cs, cs)
+    cache_tree = cache_specs()
     fn = shard_map(
         partial(forward, cfg=cfg, tp_axis="tp"),
         mesh=mesh,
@@ -60,9 +58,7 @@ def make_tp_prefill(params, cfg: ModelConfig, mesh: Mesh, donate_cache=True):
     per-row real lengths ``lens`` [B] → (last-real-token logits [B, V],
     cache). The TP analog of runtime.generate._prefill_ragged."""
     pspecs = _aux_specs(params, cfg)
-    from ..runtime.kvcache import KVCache
-    cs = cache_specs()
-    cache_tree = KVCache(cs, cs, cs, cs)
+    cache_tree = cache_specs()
 
     def body(params, tokens, lens, cache):
         logits, cache = forward(
@@ -96,12 +92,10 @@ def make_tp_decode_loop(params, cfg: ModelConfig, mesh: Mesh, n_steps: int,
     with the dp shard index (independent noise per shard); at dp == 1 the
     key stream matches the single-device sample_loop exactly.
     """
-    from ..runtime.kvcache import KVCache
     from ..runtime.sampling import SamplerState, sample
 
     pspecs = _aux_specs(params, cfg)
-    cs = cache_specs()
-    cache_tree = KVCache(cs, cs, cs, cs)
+    cache_tree = cache_specs()
     dp = mesh.shape.get("dp", 1)
 
     if sampling is None:

@@ -6,7 +6,7 @@ f16 layout choice, TP head split, shift-RoPE cossin cache).
 Layout is head-major ``[L, B, Hkv, S, Dh]`` (the TPU analog of the
 reference's NTILE-reordered packed KV): per-head contiguous S so the Pallas
 attention kernels stream blocks at full HBM bandwidth. Optional int8
-quantization stores per-(token, head) scales ``[L, B, Hkv, 8, S]`` (value
+quantization stores per-(token, head) scales FLAT ``[L, B, Hkv, S]`` bf16 (value
 replicated over the 8-sublane dim for alignment-legal kernel slices).
 """
 from __future__ import annotations
@@ -23,7 +23,7 @@ from ..models.config import ModelConfig
 class KVCache(NamedTuple):
     k: jnp.ndarray                   # [L, B, Hkv, S, Dh] bf16/f32 or int8
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]   # [L, B, Hkv, 8, S] f32 iff int8
+    k_scale: Optional[jnp.ndarray]   # [L, B, Hkv, S] bf16 iff int8
     v_scale: Optional[jnp.ndarray]
 
     @property
@@ -42,10 +42,10 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
     model_utils.cpp:61)."""
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
     if dtype == "int8" or dtype == jnp.int8:
-        sshape = (cfg.n_layers, batch, cfg.n_kv_heads, 8, max_len)
+        sshape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len)
         return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-                       jnp.zeros(sshape, jnp.float32),
-                       jnp.zeros(sshape, jnp.float32))
+                       jnp.zeros(sshape, jnp.bfloat16),
+                       jnp.zeros(sshape, jnp.bfloat16))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    None, None)
 
@@ -53,7 +53,7 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int,
 def cache_nbytes(cache: KVCache) -> int:
     tot = cache.k.size * cache.k.dtype.itemsize * 2
     if cache.k_scale is not None:
-        tot += cache.k_scale.size * 4 * 2 // 8  # one real row of the 8
+        tot += cache.k_scale.size * cache.k_scale.dtype.itemsize * 2
     return tot
 
 

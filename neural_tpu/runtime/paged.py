@@ -29,7 +29,7 @@ from ..models.config import ModelConfig
 class PagedKVCache(NamedTuple):
     k: jnp.ndarray                   # [L, P, Hkv, ps, Dh] bf16 or int8
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]   # [L, P, Hkv, 8, ps] f32 iff int8
+    k_scale: Optional[jnp.ndarray]   # [L, P, Hkv, ps] bf16 iff int8
     v_scale: Optional[jnp.ndarray]
     table: jnp.ndarray               # [B, MAXP] int32 physical page ids
 
@@ -65,10 +65,10 @@ def init_paged_cache(cfg: ModelConfig, batch: int, max_len: int,
     shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
     table = jnp.zeros((batch, maxp), jnp.int32)
     if dtype == "int8" or dtype == jnp.int8:
-        sshape = (cfg.n_layers, n_pages, cfg.n_kv_heads, 8, page_size)
+        sshape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size)
         return PagedKVCache(
             jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-            jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(sshape, jnp.bfloat16), jnp.zeros(sshape, jnp.bfloat16),
             table)
     return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                         None, None, table)

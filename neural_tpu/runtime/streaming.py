@@ -56,7 +56,7 @@ def shift_cache_impl(cache: KVCache, inv_freqs, cfg: ModelConfig,
             # dequant → rotate → requant for int8 caches
             if ks is not None:
                 from ..ops.attention import quantize_kv
-                sc = ks[:, :, :, 0, m0:]                        # [L,B,H,S']
+                sc = ks[:, :, :, m0:].astype(jnp.float32)       # [L,B,H,S']
                 mf = moved.astype(jnp.float32) * sc[..., None]
             else:
                 mf = moved.astype(jnp.float32)
@@ -82,17 +82,14 @@ def shift_cache_impl(cache: KVCache, inv_freqs, cfg: ModelConfig,
     v_new, _ = move(v, rotate=False)
 
     def move_scales(sc, resc):
-        """sc [L,B,H,8,S]; resc [L,B,H,S'] (requantized K scales) or None."""
+        """sc [L,B,H,S] bf16; resc [L,B,H,S'] (requantized K scales) or
+        None (V scales move unchanged)."""
         if sc is None:
             return None
-        sink = sc[:, :, :, :, :n_keep]
-        if resc is not None:
-            moved = jnp.broadcast_to(
-                resc[:, :, :, None, :], (*resc.shape[:3], 8, resc.shape[3]))
-        else:
-            moved = sc[:, :, :, :, m0:]
-        pad = jnp.zeros((*sc.shape[:4], n_discard), sc.dtype)
-        return jnp.concatenate([sink, moved, pad], axis=4)
+        sink = sc[:, :, :, :n_keep]
+        moved = sc[:, :, :, m0:] if resc is None else resc.astype(sc.dtype)
+        pad = jnp.zeros((*sc.shape[:3], n_discard), sc.dtype)
+        return jnp.concatenate([sink, moved, pad], axis=3)
 
     if ks is not None:
         ks_new = move_scales(ks, k_resc)

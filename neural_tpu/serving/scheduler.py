@@ -154,6 +154,22 @@ def _bcast_rows(cache: KVCache, base, W: int):
     return KVCache(*(f(c) for c in cache))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_pages(cache: PagedKVCache, src, dst):
+    """Copy page CONTENTS pool[src[i]] → pool[dst[i]] across the k/v (and
+    scale) pools. The paged-mode analog of both _bcast_rows (beam prompt
+    share) and _reorder_rows (beam KV reorder): in paged mode a slot's KV
+    lives in its table row's pages, so replicating/reordering beams is a
+    page-content copy over the pool's page axis (reference
+    beam_search_kv_cache_reorder against the packed cache,
+    model_utils.h:423)."""
+    def f(c):
+        if c is None:
+            return None
+        return c.at[:, dst].set(c[:, src])
+    return PagedKVCache(*(f(c) for c in cache[:4]), cache.table)
+
+
 @partial(jax.jit, static_argnames=("W",), donate_argnums=(0,))
 def _reorder_rows(cache: KVCache, base, parents, W: int):
     """Beam KV reorder restricted to the group's contiguous rows
@@ -309,8 +325,6 @@ class Scheduler:
             assert len(prompt_ids) + max_new_tokens <= self.max_len, \
                 "request exceeds max_len"
         if num_beams > 1:
-            assert self.kv_mode == "slots", \
-                "beam requests require kv_mode='slots'"
             assert num_beams <= self.max_batch, "num_beams exceeds slot pool"
         self.waiting.append(Sequence(request_id, list(prompt_ids),
                                      max_new_tokens, sampling,
@@ -341,14 +355,15 @@ class Scheduler:
     def _can_admit(self, seq: Sequence) -> bool:
         if not self.free_slots:
             return False
-        if seq.num_beams > 1:
-            return self._find_contiguous(seq.num_beams) is not None
+        if seq.num_beams > 1 and \
+                self._find_contiguous(seq.num_beams) is None:
+            return False
         if self.kv_mode != "paged":
             return True
         T = len(seq.prompt_ids)
         need = pages_needed(max(T + seq.max_new_tokens,
                                 _bucket(T, self.buckets)), self.page_size)
-        return self.allocator.n_free >= need
+        return self.allocator.n_free >= need * max(seq.num_beams, 1)
 
     def step(self):
         """One mixed iteration: at most one prefill CHUNK plus one batched
@@ -448,12 +463,40 @@ class Scheduler:
         Tb = _bucket(T, self.buckets)
         toks = np.zeros((1, Tb), np.int32)
         toks[0, :T] = seq.prompt_ids
-        logits, self.cache = _prefill_slot(
-            self.params, jnp.asarray(toks), self.cache, jnp.int32(base),
-            jnp.zeros((1,), jnp.int32), jnp.asarray([T], jnp.int32),
-            self.cfg, Tb)
-        # all W beams share the prompt KV
-        self.cache = _bcast_rows(self.cache, jnp.int32(base), W)
+        if self.kv_mode == "paged":
+            # every beam row owns its pages exclusively (no refcounting);
+            # prompt sharing and KV reorder are page-content copies
+            need = min(pages_needed(max(T + seq.max_new_tokens, Tb),
+                                    self.page_size), self.maxp)
+            for s in range(base, base + W):
+                pages = self.allocator.alloc(need)
+                assert pages is not None, "admission gate guarantees pages"
+                self.slot_pages[s] = pages
+                self.table_np[s, :] = self._trash_page
+                self.table_np[s, :need] = pages
+            self.cache = PagedKVCache(*self.cache[:4],
+                                      jnp.asarray(self.table_np))
+            self._table_dirty = False
+            logits, self.cache = _prefill_slot_paged(
+                self.params, jnp.asarray(toks), self.cache, jnp.int32(base),
+                jnp.zeros((1,), jnp.int32), jnp.asarray([T], jnp.int32),
+                self.cfg, Tb)
+            # replicate the prompt KV into the other beams' pages
+            if W > 1:
+                src = np.concatenate(
+                    [self.slot_pages[base]] * (W - 1)).astype(np.int32)
+                dst = np.concatenate(
+                    [self.slot_pages[base + w] for w in range(1, W)]
+                ).astype(np.int32)
+                self.cache = _copy_pages(self.cache, jnp.asarray(src),
+                                         jnp.asarray(dst))
+        else:
+            logits, self.cache = _prefill_slot(
+                self.params, jnp.asarray(toks), self.cache, jnp.int32(base),
+                jnp.zeros((1,), jnp.int32), jnp.asarray([T], jnp.int32),
+                self.cfg, Tb)
+            # all W beams share the prompt KV
+            self.cache = _bcast_rows(self.cache, jnp.int32(base), W)
         row = np.asarray(logits[0, T - 1], np.float32)
         logp0 = row - row.max()
         logp0 -= np.log(np.exp(logp0).sum())
@@ -503,8 +546,25 @@ class Scheduler:
         new_scores = total[top]
 
         if not np.array_equal(parents, np.arange(W)):
-            self.cache = _reorder_rows(self.cache, jnp.int32(base),
-                                       jnp.asarray(parents), W)
+            if self.kv_mode == "paged":
+                # page-content reorder: rows keep their pages; contents
+                # copy from the parent's used pages (incl. the token just
+                # written at offset lengths, hence the +1)
+                used = pages_needed(int(self.lengths[base]) + 1,
+                                    self.page_size)
+                src, dst = [], []
+                for w in range(W):
+                    p = int(parents[w])
+                    if p == w:
+                        continue
+                    src += self.slot_pages[base + p][:used]
+                    dst += self.slot_pages[base + w][:used]
+                self.cache = _copy_pages(
+                    self.cache, jnp.asarray(np.asarray(src, np.int32)),
+                    jnp.asarray(np.asarray(dst, np.int32)))
+            else:
+                self.cache = _reorder_rows(self.cache, jnp.int32(base),
+                                           jnp.asarray(parents), W)
         g.step += 1
         new_beams, new_alive = [], np.ones(W, bool)
         for w in range(W):
@@ -550,6 +610,10 @@ class Scheduler:
             self.running.pop(s, None)
             self.free_slots.append(s)
             self.lengths[s] = 0
+            if self.kv_mode == "paged" and s in self.slot_pages:
+                self.allocator.release(self.slot_pages.pop(s))
+                self.table_np[s, :] = self._trash_page
+                self._table_dirty = True
 
     def _seq_chunk(self, seq: Sequence) -> Optional[int]:
         """Per-request prefill chunk; None = single-shot. Falls back to

@@ -40,8 +40,8 @@ def main():
     if int8:
         k = jax.random.randint(key, (L, B, H, S, Dh), -127, 127, jnp.int8)
         v = jax.random.randint(key, (L, B, H, S, Dh), -127, 127, jnp.int8)
-        ks = jnp.ones((L, B, H, 8, S), jnp.float32) * 0.01
-        vs = jnp.ones((L, B, H, 8, S), jnp.float32) * 0.01
+        ks = jnp.ones((L, B, H, S), jnp.bfloat16) * 0.01
+        vs = jnp.ones((L, B, H, S), jnp.bfloat16) * 0.01
     else:
         k = jax.random.normal(key, (L, B, H, S, Dh), jnp.bfloat16) * 0.1
         v = jax.random.normal(key, (L, B, H, S, Dh), jnp.bfloat16) * 0.1

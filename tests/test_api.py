@@ -348,3 +348,29 @@ def test_call_ragged_padding():
     # row 1's valid positions match its solo eval
     solo = m([[5, 6]])
     np.testing.assert_allclose(logits[1, :2], solo[0], atol=2e-4)
+
+
+def test_full_state_session_resume_equals_continuous(tmp_path):
+    """Resumed sampled generation == uninterrupted run, bit-for-bit: the
+    session snapshot carries logits + sampler RNG + mirostat state
+    (reference full-state serialize, model_utils.cpp:1551-1773)."""
+    m = nt.Model().init_from_hf_model(tiny(), weight_dtype=None,
+                                      dtype="float32")
+    prompt = [3, 17, 91, 5]
+    kw = dict(max_new_tokens=8, do_sample=True, temperature=0.9, seed=7,
+              stop_at_eos=False, max_len=32)
+
+    # continuous run (session_file forces the hooked path; file is fresh
+    # so round 1 prefices + saves)
+    p1 = str(tmp_path / "a.ntpu")
+    cont = m.generate([prompt], session_file=p1, **kw)[0]
+
+    # resume: same prompt, fresh generate — full prompt match restores
+    # logits/key/mu and skips re-eval entirely
+    resumed = m.generate([prompt], session_file=p1, **kw)[0]
+    assert resumed == cont
+
+    # the snapshot carries the full state fields
+    from neural_tpu.convert.checkpoint import load_session
+    _, _, extra = load_session(p1)
+    assert "logits" in extra and "rng_key" in extra and "sampler_mu" in extra

@@ -48,12 +48,10 @@ def test_flash_decode_int8_kv():
 
     kq, ks = quantize_kv(k)                           # [B,Hkv,S]
     vq, vs = quantize_kv(v)
-    ks8 = jnp.broadcast_to(ks[:, :, None, :], (*ks.shape[:2], 8, ks.shape[2]))
-    vs8 = jnp.broadcast_to(vs[:, :, None, :], (*vs.shape[:2], 8, vs.shape[2]))
 
     # int8 oracle and int8 kernel must agree tightly
-    ref8 = attend_xla(q, kq, vq, ks8, vs8, pos, cfg)
-    out = flash_decode(q[:, 0], kq, vq, ks8, vs8, lengths=pos[:, 0] + 1,
+    ref8 = attend_xla(q, kq, vq, ks, vs, pos, cfg)
+    out = flash_decode(q[:, 0], kq, vq, ks, vs, lengths=pos[:, 0] + 1,
                        interpret=True)
     np.testing.assert_allclose(np.asarray(out).reshape(ref8.shape),
                                np.asarray(ref8), atol=2e-2, rtol=2e-2)
@@ -213,11 +211,9 @@ def test_flash_decode_window_int8_kv():
     q, k, v, pos = mk_case(length=400)
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
-    ks8 = jnp.broadcast_to(ks[:, :, None, :], (*ks.shape[:2], 8, ks.shape[2]))
-    vs8 = jnp.broadcast_to(vs[:, :, None, :], (*vs.shape[:2], 8, vs.shape[2]))
     cfg = cfg_for(sliding_window=160)
-    ref = attend_xla(q, kq, vq, ks8, vs8, pos, cfg)
-    out = flash_decode(q[:, 0], kq, vq, ks8, vs8, lengths=pos[:, 0] + 1,
+    ref = attend_xla(q, kq, vq, ks, vs, pos, cfg)
+    out = flash_decode(q[:, 0], kq, vq, ks, vs, lengths=pos[:, 0] + 1,
                        window=160, blk_s=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
@@ -233,13 +229,11 @@ def test_flash_prefill_int8_kv():
     v = jnp.asarray(rng.standard_normal((B, Hkv, S, Dh)).astype(np.float32))
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
-    ks8 = jnp.broadcast_to(ks[:, :, None, :], (*ks.shape[:2], 8, ks.shape[2]))
-    vs8 = jnp.broadcast_to(vs[:, :, None, :], (*vs.shape[:2], 8, vs.shape[2]))
     positions = start + jnp.arange(T)[None, :].astype(jnp.int32) \
         * jnp.ones((B, 1), jnp.int32)
     cfg = cfg_for(Hkv=Hkv)
-    ref = attend_xla(q, kq, vq, ks8, vs8, positions, cfg)
-    out = flash_prefill(q, kq, vq, ks8, vs8,
+    ref = attend_xla(q, kq, vq, ks, vs, positions, cfg)
+    out = flash_prefill(q, kq, vq, ks, vs,
                         starts=jnp.full((B,), start, jnp.int32),
                         blk_t=128, blk_s=256, interpret=True)
     np.testing.assert_allclose(

@@ -231,3 +231,79 @@ def test_fuse_layer_weights_act_order():
     l1, _ = model_step(fused, toks, start, init_cache(cfg, 1, 32), cfg)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
                                rtol=2e-2, atol=2e-2)
+
+
+def pack_fields(codes: np.ndarray, bits: int, axis: int) -> np.ndarray:
+    """Test-side AutoGPTQ packer for bits in {2, 3, 4, 8} — transcribed
+    independently from the published pack() loop (LSB-first words; 3-bit
+    straddles two values across word boundaries per 3-word group)."""
+    c = np.moveaxis(codes.astype(np.uint32), axis, 0)
+    K = c.shape[0]
+    if bits in (2, 4, 8):
+        per = 32 // bits
+        c = c.reshape(K // per, per, *c.shape[1:])
+        word = np.zeros((K // per, *c.shape[2:]), np.uint32)
+        for j in range(per):
+            word |= c[:, j] << (bits * j)
+        return np.moveaxis(word, 0, axis).view(np.int32)
+    assert bits == 3
+    assert K % 32 == 0
+    c = c.reshape(K // 32, 32, *c.shape[2:] if c.ndim > 2 else c.shape[1:])
+    w = np.zeros((K // 32, 3, *c.shape[2:]), np.uint32)
+    for j in range(10):
+        w[:, 0] |= c[:, j] << (3 * j)
+    w[:, 0] |= (c[:, 10] & 3) << 30
+    w[:, 1] |= c[:, 10] >> 2
+    for j in range(10):
+        w[:, 1] |= c[:, 11 + j] << (3 * j + 1)
+    w[:, 1] |= (c[:, 21] & 1) << 31
+    w[:, 2] |= c[:, 21] >> 1
+    for j in range(10):
+        w[:, 2] |= c[:, 22 + j] << (3 * j + 2)
+    w = w.reshape(K // 32 * 3, *c.shape[2:])
+    return np.moveaxis(w, 0, axis).view(np.int32)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 8])
+@pytest.mark.parametrize("axis", [0, 1])
+def test_field_roundtrip_odd_bits(bits, axis):
+    from neural_tpu.convert.gptq import unpack_int32_fields
+    rng = np.random.default_rng(bits * 10 + axis)
+    shape = (96, 64) if axis == 0 else (64, 96)
+    codes = rng.integers(0, 1 << bits, shape).astype(np.uint8)
+    w = pack_fields(codes, bits, axis=axis)
+    out = unpack_int32_fields(w, bits, axis=axis)
+    np.testing.assert_array_equal(out, codes)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 8])
+@pytest.mark.parametrize("act_order", [False, True])
+def test_import_odd_bits_matches_oracle(bits, act_order):
+    """2/3/8-bit GPTQ layers (reference quant framework widths,
+    quant_config.h:21-143) import to QTensors whose dequant matches the
+    published GPTQ formula; matmul agrees with the fp oracle."""
+    rng = np.random.default_rng(bits)
+    K, N, g = 96, 64, 32
+    codes = rng.integers(0, 1 << bits, (K, N)).astype(np.uint8)
+    G = K // g
+    scales = (rng.random((G, N)).astype(np.float32) * 0.05 + 0.01)
+    zeros = rng.integers(1, (1 << bits) - 1 or 1, (G, N)).astype(np.uint8)
+    g_idx = None
+    if act_order:
+        g_idx = np.empty(K, np.int32)
+        g_idx[rng.permutation(K)] = np.arange(K) // g
+    qw = pack_fields(codes, bits, axis=0)
+    qz = pack_fields((zeros.astype(np.int32) - 1).astype(np.uint8), bits,
+                     axis=1)
+    qt = gptq_layer_to_qtensor(qw, qz, scales, g_idx, bits=bits)
+    ref = gptq_reference_dequant(qw, qz, scales, g_idx, bits=bits)
+    got = np.asarray(dequantize(qt))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    x = rng.standard_normal((4, K)).astype(np.float32)
+    out = np.asarray(qmatmul(jnp.asarray(x), qt))
+    exp = x @ ref
+    # bf16 matmul path: absolute error scales with Σ|x||w| (bf16 rounding
+    # doesn't cancel on near-zero outputs), not with |out|
+    atol = 5e-3 * float((np.abs(x) @ np.abs(ref)).mean()) + 2e-2
+    np.testing.assert_allclose(out, exp, atol=atol, rtol=2e-2)

@@ -85,12 +85,10 @@ def test_paged_decode_kernel_vs_oracle(kv_int8):
     if kv_int8:
         kp = jnp.asarray(rng.integers(-127, 127, (P, Hkv, ps, Dh)), jnp.int8)
         vp = jnp.asarray(rng.integers(-127, 127, (P, Hkv, ps, Dh)), jnp.int8)
-        ks = jnp.asarray(np.broadcast_to(
-            rng.uniform(0.01, 0.05, (P, Hkv, 1, ps)), (P, Hkv, 8, ps)).copy(),
-            jnp.float32)
-        vs = jnp.asarray(np.broadcast_to(
-            rng.uniform(0.01, 0.05, (P, Hkv, 1, ps)), (P, Hkv, 8, ps)).copy(),
-            jnp.float32)
+        ks = jnp.asarray(rng.uniform(0.01, 0.05, (P, Hkv, ps)),
+                         jnp.bfloat16)
+        vs = jnp.asarray(rng.uniform(0.01, 0.05, (P, Hkv, ps)),
+                         jnp.bfloat16)
     else:
         kp = jnp.asarray(rng.standard_normal((P, Hkv, ps, Dh)), jnp.bfloat16)
         vp = jnp.asarray(rng.standard_normal((P, Hkv, ps, Dh)), jnp.bfloat16)

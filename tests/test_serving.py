@@ -395,3 +395,39 @@ def test_batched_generate_truncates_at_cache_end(model):
                             max_new_tokens=100, max_len=16,
                             stop_at_eos=False)
     assert len(outs[0]) == 16 and len(outs[1]) == 14
+
+
+def test_scheduler_beam_paged_matches_standalone(model):
+    """Beam requests in PAGED KV mode: prompt sharing and KV reorder run
+    as page-content copies over the shared pool (reference KV reorder
+    works against its packed cache unconditionally, model_utils.h:423) —
+    results must match the standalone beam search, with greedy traffic
+    sharing the pool."""
+    from neural_tpu.runtime.beam import beam_search
+
+    params, cfg = model
+    prompt = [3, 11, 7, 29]
+    n_new, W = 6, 3
+    ref = beam_search(params, cfg, prompt, beam_size=W,
+                      max_new_tokens=n_new, max_len=64)
+
+    sched = Scheduler(params, cfg, max_batch=4, max_len=64,
+                      prefill_buckets=(32,), kv_mode="paged", page_size=32,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("beam", prompt, max_new_tokens=n_new, num_beams=W)
+    sched.add_request("greedy", [5, 6, 7], max_new_tokens=n_new)
+    done = {s.request_id: s for s in sched.run_to_completion()}
+    assert set(done) == {"beam", "greedy"}
+
+    got = done["beam"]
+    want_ids = ref[0].ids[len(prompt):]
+    assert got.output_ids == want_ids, (got.output_ids, want_ids)
+    assert len(got.hypotheses) == W
+    for (ids, score), hyp in zip(got.hypotheses, ref):
+        assert ids == hyp.ids[len(prompt):]
+        np.testing.assert_allclose(score, hyp.score, rtol=1e-4, atol=1e-5)
+    ref_g = ref_outputs(params, cfg, [[5, 6, 7]], n_new)[0]
+    assert done["greedy"].output_ids == ref_g
+    # all pages returned after completion
+    assert sched.allocator.n_free == sched.cache.n_pages - 1

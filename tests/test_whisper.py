@@ -197,3 +197,59 @@ def test_forced_prompt_real_vocab_layout():
     # tiny test vocab (no special block): sot only
     tiny = WhisperConfig(vocab_size=200, sot_token_id=4)
     assert build_forced_prompt(tiny, None, "transcribe", False) == [4]
+
+
+def test_token_timestamper_algorithm():
+    """TokenTimestamper: anchors from confident timestamp probabilities,
+    proportional voice-length fill between them, monotone non-overlapping
+    output (reference whisper_exp_compute_token_level_timestamps,
+    whisper.cpp:2910)."""
+    from neural_tpu.models.whisper import TokenTimestamper, voice_length
+
+    tsb = 150
+    st = TokenTimestamper(tsb)
+    # segment [0, 2.0] s, 4 text tokens; token 2 confidently anchored at
+    # tid tsb+50 (= 1.0 s)
+    ids = [10, 11, 12, 13]
+    info = [(0.001, 0.001, tsb),          # no anchor
+            (0.001, 0.001, tsb),
+            (0.5, 0.9, tsb + 50),         # anchor at 1.0 s
+            (0.001, 0.001, tsb)]
+    texts = ["hello", "world", "foo", "ba"]
+    times = st.segment(ids, info, texts, 0.0, 2.0)
+    assert len(times) == 4
+    # anchored token starts exactly at its timestamp
+    assert abs(times[2][0] - 1.0) < 1e-6
+    # monotone, non-overlapping, inside the segment
+    for j, (a, b) in enumerate(times):
+        assert 0.0 - 1e-6 <= a <= b + 1e-6 and b <= 2.0 + 1e-6
+        if j > 0:
+            assert times[j - 1][1] <= a + 1e-6
+    # proportional fill: first two tokens split [0, 1.0] by voice length
+    v0, v1 = voice_length("hello"), voice_length("world")
+    assert abs(times[0][1] - v0 / (v0 + v1 + voice_length("foo"))
+               * 1.0) < 0.5  # rough: in the first half
+
+    # voice_length weights match the reference table
+    assert voice_length(" ") == 0.01
+    assert voice_length(".") == 3.0 and voice_length("7") == 3.0
+    assert voice_length("ab") == 2.0
+
+
+def test_token_timestamps_end_to_end(setup):
+    """transcribe_segments(token_timestamps=True) attaches per-text-token
+    (t0, t1) inside each segment's bounds."""
+    from neural_tpu.models.whisper import transcribe_segments
+
+    m, params, cfg, _ = setup
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((80, 3000)).astype(np.float32) * 0.5
+    audio = rng.standard_normal(16000 * 30).astype(np.float32) * 0.1
+    segs = transcribe_segments(params, cfg, mel, [4], max_new_tokens=8,
+                               ts_begin=150, max_windows=1,
+                               token_timestamps=True, audio=audio)
+    assert len(segs) >= 1
+    for t0, t1, ids, times in segs:
+        assert len(times) == len(ids)
+        for a, b in times:
+            assert a <= b + 1e-6
