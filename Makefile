@@ -19,3 +19,7 @@ gate-perf:
 
 bench:
 	$(PY) bench.py
+
+# BASELINE.md config 2-4 perf gate vs the committed baseline (real chip)
+gate-configs:
+	$(PY) scripts/bench_configs.py --gate baselines/configs_tpu.json

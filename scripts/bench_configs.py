@@ -210,11 +210,41 @@ def cfg4_qwen_oddbit():
     return {"config": "qwen7b_oddbit_streaming", **out}
 
 
+def gate_results(lines, base_path, tol=0.15):
+    """Compare measured config rows against the committed baseline
+    (baselines/configs_tpu.json): *_ms keys fail when >tol above the
+    baseline, *tokens_per_sec keys when >tol below (reference analog:
+    the cpp-graph-test 'Performance Regression' CI gate)."""
+    with open(base_path) as f:
+        base = {r["config"]: r for r in json.load(f)["results"]}
+    ok = True
+    for line in lines:
+        got = json.loads(line)
+        want = base.get(got.get("config"))
+        if want is None:
+            continue
+        for k, wv in want.items():
+            if k not in got or not isinstance(wv, (int, float)):
+                continue
+            gv = got[k]
+            if k.endswith("_ms") and gv > wv * (1 + tol):
+                print(f"GATE FAIL {got['config']}.{k}: {gv} > {wv} "
+                      f"(+{tol:.0%})", file=sys.stderr)
+                ok = False
+            elif "tokens_per_sec" in k and gv < wv * (1 - tol):
+                print(f"GATE FAIL {got['config']}.{k}: {gv} < {wv} "
+                      f"(-{tol:.0%})", file=sys.stderr)
+                ok = False
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*",
                     default=["mistral-gptq", "qwen-oddbit", "server",
                              "alibi-sliding"])
+    ap.add_argument("--gate", help="baseline json (configs_tpu.json) to "
+                    "fail against on regression")
     args = ap.parse_args()
     if os.environ.get("NTPU_BENCH_TINY"):  # CPU smoke test of the harness
         import dataclasses
@@ -233,15 +263,30 @@ def main():
         # one fresh process per config: a prior 7B model's HBM
         # fragmentation OOMs the next one on the 16 GB chip
         import subprocess
+        lines = []
         for name in args.configs:
-            subprocess.run([sys.executable, os.path.abspath(__file__), name],
-                           env={**os.environ, "NTPU_SUBPROC": "1"})
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                env={**os.environ, "NTPU_SUBPROC": "1"},
+                capture_output=True, text=True)
+            sys.stderr.write(p.stderr)
+            for ln in p.stdout.strip().splitlines():
+                print(ln, flush=True)
+                if ln.startswith("{"):
+                    lines.append(ln)
+        if args.gate and not gate_results(lines, args.gate):
+            sys.exit(1)
         return
+    out_lines = []
     for name in args.configs:
         t0 = time.time()
         res = fns[name]()
         res["measure_s"] = round(time.time() - t0, 1)
-        print(json.dumps(res), flush=True)
+        line = json.dumps(res)
+        out_lines.append(line)
+        print(line, flush=True)
+    if args.gate and not gate_results(out_lines, args.gate):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
