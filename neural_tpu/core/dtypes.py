@@ -72,12 +72,21 @@ class QuantConfig:
     sym: bool = True
     act_bits: int = 16
     scale_dtype: str = "f32"  # "f32" | "bf16"
+    # storage marker: uint8 plane [K/2, N] whose nibbles are CENTERED int4
+    # codes in hardware-bitcast order (byte row s = codes 2s | 2s+1 << 4) —
+    # the at-rest decode format the Pallas kernels consume via an in-kernel
+    # uint8→int4 bitcast (no unpack, no conversion copy). Set by
+    # qtensor.to_native_packed; never by the quantizer directly.
+    native_pack: bool = False
 
     def __post_init__(self):
         if self.kind not in KINDS:
             raise ValueError(f"unknown kind {self.kind!r}")
         if self.kind == "int" and not (1 <= self.bits <= 8):
             raise ValueError("int bits must be in 1..8")
+        if self.native_pack and (self.kind != "int"
+                                 or not 2 <= self.bits <= 4):
+            raise ValueError("native_pack stores 2-4 bit int codes")
         if self.kind in ("nf4", "fp4") and self.bits != 4:
             object.__setattr__(self, "bits", 4)
         if self.kind.startswith("fp8") and self.bits != 8:

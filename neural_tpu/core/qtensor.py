@@ -150,6 +150,8 @@ class QTensor:
         if self.cfg.kind.startswith("fp8") or \
                 self.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
             return self.planes[0].shape[-2]
+        if self.cfg.native_pack:        # u8 rows hold 2 nibble codes each
+            return self.planes[0].shape[-2] * 2
         p0 = bit_planes(self.cfg.bits)[0]
         return self.planes[0].shape[-2] * (8 // p0) if p0 != 8 else \
             self.planes[0].shape[-2]
@@ -278,6 +280,16 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
             codes = qt.planes[0].astype(jnp.int32)
             if cfg.sym:
                 codes = codes + (1 << (cfg.bits - 1))  # back to unsigned
+        elif cfg.native_pack:
+            # u8 bytes hold two CENTERED int4 nibbles (low first);
+            # sign-extend — same domain as to_native's int4 planes (sym
+            # codes re-shift below; asym zeros are stored shifted)
+            b = qt.planes[0].astype(jnp.int32)           # [K/2, N]
+            lo = ((b & 0xF) ^ 8) - 8
+            hi = (((b >> 4) & 0xF) ^ 8) - 8
+            codes = jnp.stack([lo, hi], axis=1).reshape(K, N)
+            if cfg.sym:
+                codes = codes + (1 << (cfg.bits - 1))
         else:
             codes = unpack_codes(qt.planes, cfg.bits,
                                  pack_chunk(cfg, K))  # int32 [K, N]
@@ -325,7 +337,8 @@ def to_native(qt: QTensor) -> QTensor:
     some runtimes. No-op for non-int kinds and 1-bit (sign) weights.
     """
     cfg = qt.cfg
-    if cfg.kind != "int" or qt.planes[0].dtype != jnp.uint8:
+    if cfg.kind != "int" or qt.planes[0].dtype != jnp.uint8 \
+            or cfg.native_pack:
         return qt
     if cfg.bits < 2:
         return qt
@@ -355,6 +368,47 @@ def to_native(qt: QTensor) -> QTensor:
         # match the code shift (uint8 integer zp and float zp alike)
         zeros = (zeros.astype(jnp.float32) - shift).astype(jnp.bfloat16)
     return QTensor((fn(*qt.planes),), scales, zeros, qt.perm, cfg)
+
+
+def to_native_packed(qt: QTensor) -> QTensor:
+    """Convert a 2-4 bit packed int QTensor to the AT-REST decode format:
+    a uint8 plane [*lead, K/2, N] whose nibbles are the CENTERED int4
+    codes in hardware-bitcast order (byte row s = code 2s in the low
+    nibble, code 2s+1 in the high). The Pallas kernels reinterpret the
+    tile as int4 with one in-register ``pltpu.bitcast`` and use the TPU's
+    hardware int4→f32 convert — same speed as to_native's int4 planes,
+    but the array is uint8, so it CAN live across jit boundaries: convert
+    ONCE at load, and no decode executable re-pays the conversion or
+    holds a second copy of the model (the round-2 double-residency;
+    reference analog: packed weights are load-time artifacts,
+    bestla/bestla/bestla_storage.h:697).
+
+    Scales (and zero-points, shifted like to_native) downcast to bf16.
+    Runs outside jit (uint8/int32 ops only); works on [L, ...] stacks.
+    """
+    cfg = qt.cfg
+    if (cfg.kind != "int" or qt.planes[0].dtype != jnp.uint8
+            or not 2 <= cfg.bits <= 4 or cfg.native_pack):
+        return qt
+    chunk = pack_chunk(cfg, qt.K)
+    shift = 1 << (cfg.bits - 1)
+
+    def repack2d(*planes):
+        codes = unpack_codes(planes, cfg.bits, chunk)    # int32 [K, N]
+        nib = (codes - shift) & 0xF                      # two's-complement
+        K2 = nib.shape[0] // 2
+        lo, hi = nib[0::2], nib[1::2]
+        return (lo | (hi << 4)).astype(jnp.uint8)        # [K/2, N]
+
+    fn = repack2d
+    for _ in range(qt.planes[0].ndim - 2):               # L / E stacks
+        fn = jax.vmap(fn)
+    scales = qt.scales.astype(jnp.bfloat16)
+    zeros = qt.zeros
+    if zeros is not None:
+        zeros = (zeros.astype(jnp.float32) - shift).astype(jnp.bfloat16)
+    cfg2 = dataclasses.replace(cfg, native_pack=True)
+    return QTensor((fn(*qt.planes),), scales, zeros, qt.perm, cfg2)
 
 
 def concat_n(qts: Sequence["QTensor"]) -> "QTensor":
@@ -391,7 +445,7 @@ NATIVE_DTYPES = (jnp.int4, jnp.uint4, jnp.int8)
 
 
 def is_native(qt: QTensor) -> bool:
-    return qt.planes[0].dtype in NATIVE_DTYPES
+    return qt.planes[0].dtype in NATIVE_DTYPES or qt.cfg.native_pack
 
 
 def matmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:

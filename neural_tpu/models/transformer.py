@@ -408,7 +408,8 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
             logits_dtype=jnp.float32, tp_axis: Optional[str] = None,
             sp_axis: Optional[str] = None, ep_axis: Optional[str] = None,
             prompt_len: Optional[jnp.ndarray] = None,
-            logit_positions: Optional[jnp.ndarray] = None):
+            logit_positions: Optional[jnp.ndarray] = None,
+            unroll_layers: bool = False):
     """Run the decoder.
 
     tokens: [B, T] int32; start: [B] int32 (write offset in the KV cache =
@@ -479,6 +480,21 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
         # unrolled layers (opt-in decode mode): weights are separate
         # loop-invariant buffers
         for l, lp in enumerate(params["layers"]):
+            x, k_all, v_all, ks_all, vs_all = _block(
+                x, lp, cfg, k_all, v_all, ks_all, vs_all,
+                jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis,
+                table, sp_axis, ep_axis, prompt_len)
+    elif unroll_layers:
+        # UNROLLED over STACKED layers: the decode path for native-at-rest
+        # weights — each layer's Pallas call streams its slice straight
+        # from the [L, ...] HBM stacks via the prefetched index (make_lp
+        # keeps QTensors stacked), so the executable holds NO weight
+        # copies and no lax.scan carry can sink the stacks into staging
+        # buffers (the measured 4.2 ms/tok scan pathology).
+        layers = params["layers"]
+        L = jax.tree.leaves(layers)[0].shape[0]
+        for l in range(L):
+            lp = make_lp(layers, jnp.int32(l))
             x, k_all, v_all, ks_all, vs_all = _block(
                 x, lp, cfg, k_all, v_all, ks_all, vs_all,
                 jnp.int32(l), start, positions, inv_freqs, slopes, tp_axis,

@@ -52,6 +52,14 @@ def _lut_select(codes: jnp.ndarray, lut: np.ndarray) -> jnp.ndarray:
     return cur[0]
 
 
+def _bitcast4(tile_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [R, N] → int4 [2R, N] in-register reinterpret (native-pack
+    storage): row r of the input becomes rows 2r (low nibble) and 2r+1
+    (high nibble) — verified hardware + interpreter semantics. Feeds the
+    TPU's hardware int4→f32 convert with ZERO unpack arithmetic."""
+    return pltpu.bitcast(tile_u8, jnp.int4)
+
+
 def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
                   group_size: int, chunk: int,
                   out_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -60,6 +68,8 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
     All integer arithmetic in int32 (Mosaic has no sub-word vector shifts);
     unpacking is the chunk-local scheme from qtensor, shared with the oracle.
     """
+    if cfg.native_pack:
+        plane_tiles = [_bitcast4(plane_tiles[0])]
     if cfg.kind.startswith("fp8"):
         vals = plane_tiles[0].astype(jnp.float32)
     elif plane_tiles[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
@@ -187,7 +197,10 @@ def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
     pt = plane_tiles[0]
-    if pt.dtype == jnp.uint8:
+    if cfg.native_pack:
+        # centered int4 nibbles at rest: reinterpret and widen to int8
+        w8 = _bitcast4(pt).astype(jnp.int8)
+    elif pt.dtype == jnp.uint8:
         codes = unpack_codes(tuple(plane_tiles), cfg.bits, chunk)  # int32
         if cfg.sym:
             codes = codes - (1 << (cfg.bits - 1))
@@ -251,7 +264,9 @@ def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
         return (0, j)
 
     in_specs = [pl.BlockSpec((tm, tk), xmap)]
-    if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
+    if cfg.native_pack:
+        pack_rows = [tk // 2]
+    elif qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
         pack_rows = [tk]
     else:
         pack_rows = [tk * p // 8 for p, _ in plane_shifts(cfg.bits)]
@@ -459,7 +474,9 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
         return (i, k)
 
     in_specs = [pl.BlockSpec((tm, tk), xmap)]
-    if cfg.kind.startswith("fp8") or \
+    if cfg.native_pack:
+        pack_rows = [tk // 2]
+    elif cfg.kind.startswith("fp8") or \
             qt.planes[0].dtype in (jnp.int4, jnp.uint4):
         pack_rows = [tk]
     else:
@@ -509,7 +526,7 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
 
 
 def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
-                 stacked: bool):
+                 stacked: bool, npack: bool = False):
     """Native-int4 decode kernel: one full-K stripe per grid step.
 
     Measured on v5e (K=N=4096, q4_0): the hardware int4→f32 convert plus an
@@ -538,9 +555,14 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
         idx += 2
     out_ref = refs[idx]
 
-    w = tile(w_ref).astype(jnp.float32)              # [K, tn]
+    wu = tile(w_ref)                                 # [K(/2), tn]
+    if npack:  # uint8 at rest → int4 reinterpret (zero unpack cost)
+        w = _bitcast4(wu).astype(jnp.float32)
+    else:
+        w = wu.astype(jnp.float32)                   # [K, tn]
     s = tile(s_ref).astype(jnp.float32)              # [G, tn]
-    K, tn = w.shape
+    tn = wu.shape[1]
+    K = wu.shape[0] * (2 if npack else 1)
     G = s.shape[0]
     xf = x_ref[...].astype(jnp.float32)
     if G <= 256:
@@ -549,7 +571,10 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
         # multiplies of scaling the weight tile itself. Measured (v5e,
         # M=8, K=4096, tn=2048, g=32): 480 GB/s effective weight stream
         # vs 339 for scale-the-weights, 537 no-scale ceiling
-        # (scripts/exp_kernels.py unroll1 variant).
+        # (scripts/exp_kernels.py unroll1 variant). Measured negative
+        # results for the native-pack variants (7B attn squares, v5e):
+        # per-group bitcast 6.31 ms/tok, bf16 convert 6.76, vs 6.16 for
+        # the whole-block f32 bitcast here.
         acc = jnp.zeros((xf.shape[0], tn), jnp.float32)
         for gi in range(G):
             part = jnp.dot(xf[:, gi * group_size:(gi + 1) * group_size],
@@ -557,8 +582,10 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
                            preferred_element_type=jnp.float32)
             acc = acc + part * s[gi].reshape(1, tn)
     else:
-        wg = (w.reshape(G, group_size, tn) * s[:, None, :]).reshape(K, tn)
-        acc = jnp.dot(xf, wg, preferred_element_type=jnp.float32)
+        wg = (w.astype(jnp.float32).reshape(G, group_size, tn)
+              * s[:, None, :]).reshape(K, tn)
+        acc = jnp.dot(xf.astype(jnp.float32), wg,
+                      preferred_element_type=jnp.float32)
     if has_zeros:
         z = tile(z_ref)
         if z.dtype == jnp.uint8:
@@ -591,9 +618,11 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
         return (i, 0)
 
     G = qt.scales.shape[-2]
+    npack = qt.cfg.native_pack
     in_specs = [
         pl.BlockSpec((tm, K), xmap),
-        pl.BlockSpec((*lead, K, tn), wmap(lambda i, j: (0, j))),
+        pl.BlockSpec((*lead, K // 2 if npack else K, tn),
+                     wmap(lambda i, j: (0, j))),
         pl.BlockSpec((*lead, G, tn), wmap(lambda i, j: (0, j))),
     ]
     operands = [x, qt.planes[0], qt.scales]
@@ -607,7 +636,7 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
 
     kernel = functools.partial(
         _qmm4_kernel, group_size=g, has_zeros=has_zeros,
-        out_dtype=out_dtype, stacked=stacked)
+        out_dtype=out_dtype, stacked=stacked, npack=npack)
     bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
                       + M * N * np.dtype(out_dtype).itemsize)
     common = dict(
@@ -631,18 +660,19 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
         **common)(*operands)
 
 
-def _pick_decode_tiles(M, K, N, g, code_bits=4):
+def _pick_decode_tiles(M, K, N, g, code_bits=4, npack=False):
     """(tm, tn) for the native-code decode kernel, or None.
 
     Single K stripe per grid step: K must be sublane-tileable and small
     enough that the code block (K*tn*code_bits/8 bytes) double-buffers in
     VMEM. tn is the largest 128-multiple divisor of N under that cap. M
     caps at 16: beyond that the f32 MXU dot stops hiding under the HBM
-    stream.
+    stream. (native-pack tn sweep on the 7B attn squares: tn=1024 gave
+    6.21 ms/tok vs 6.16 at 2048 — the uniform cap stands.)
     """
     if M > 16 or K % 32 or K % g:
         return None
-    cap = (4 << 20) * 8 // (K * code_bits)  # code block ≤ 4 MB
+    cap = (4 << 20) * 8 // (K * code_bits)
     for tn in (2048, 1024, 640, 512, 384, 256, 128):
         if tn <= cap and N % tn == 0:
             return _round_up(max(M, 8), 8), tn
@@ -657,6 +687,12 @@ def qmatmul_native(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
     K, N = qt.K, qt.N
     g = qt.group_size
     codes = qt.planes[0]
+    if qt.cfg.native_pack:
+        # XLA-side nibble expansion of the at-rest uint8 plane
+        b = codes.astype(jnp.int32)
+        lo = ((b & 0xF) ^ 8) - 8
+        hi = (((b >> 4) & 0xF) ^ 8) - 8
+        codes = jnp.stack([lo, hi], axis=1).reshape(K, N)
     wf = codes.astype(jnp.bfloat16).reshape(K // g, g, N)
     if qt.zeros is not None:
         wf = wf - qt.zeros.astype(jnp.bfloat16)[:, None, :]
@@ -792,11 +828,13 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         if Mp != M:
             out = out[:M]
         return out.reshape(*lead, qt.N)
-    if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
+    if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8) \
+            or qt.cfg.native_pack:
         code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4
         use_pallas = (backend == "tpu" or force == "pallas"
                       or interpret) and force != "xla"
-        dec = _pick_decode_tiles(M, K, qt.N, qt.group_size, code_bits) \
+        dec = _pick_decode_tiles(M, K, qt.N, qt.group_size, code_bits,
+                                 npack=qt.cfg.native_pack) \
             if use_pallas else None
         if dec is not None:
             tm, tn = dec
@@ -807,7 +845,8 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
             if Mp != M:
                 out = out[:M]
             return out.reshape(*lead, qt.N)
-        tiles = (_pick_tiles(M, K, qt.N, qt.group_size, 4, "fp8__native")
+        tiles = (_pick_tiles(M, K, qt.N, qt.group_size, 4,
+                             "int" if qt.cfg.native_pack else "fp8__native")
                  if use_pallas else None)
         if tiles is not None:
             tm = tiles[0]

@@ -16,11 +16,101 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.qtensor import QTensor, to_native
+from ..core.qtensor import QTensor, is_native, to_native, to_native_packed
 from ..models.config import ModelConfig
 from ..models.transformer import forward
 from .kvcache import init_cache
 from .sampling import SamplingParams, SamplerState, sample
+
+
+def _qleaves(params):
+    return [l for l in jax.tree.leaves(
+        params, is_leaf=lambda x: isinstance(x, QTensor))
+        if isinstance(l, QTensor)]
+
+
+# tensors at or above this K*N get the uint8 native-pack at-rest format.
+# Below it (the ~[4096, 4096] attention projections of a 7B) the in-kernel
+# bitcast costs ~0.8 ms/tok on v5e: their decode kernels run only 2-4 grid
+# steps, too few to hide the bitcast's register shuffle behind the DMA
+# pipeline (measured: npack attn-only 6.16 ms/tok vs 5.34 packed+in-jit
+# conversion; gate/up/down/lm_head show NO penalty). Small tensors stay
+# bit-plane packed and convert in-jit per call — only ~1 GB worth on a 7B.
+NPACK_MIN_ELEMS = 32 * (1 << 20)
+
+
+def params_to_native(params, donate: bool = True, force: bool = False,
+                     min_elems: Optional[int] = None):
+    """ONE-TIME load conversion to the at-rest TPU decode format
+    (reference analog: packed weights are load-time artifacts,
+    bestla_storage.h:697):
+
+    - layers unstack to per-layer tuples (the measured-fast decode layout:
+      every kernel reads whole per-layer buffers; stacked-index streaming
+      cost +1.3 ms/tok on a 7B),
+    - large 2-4 bit tensors repack to the uint8 native-pack layout
+      (in-kernel bitcast → hardware int4 convert; zero conversion,
+      crosses jit boundaries),
+    - 5-8 bit tensors convert to int8 code planes (also boundary-safe),
+    - small 2-4 bit tensors (see NPACK_MIN_ELEMS) keep the packed form;
+      prepare_params converts just those in-jit (~1 GB on a 7B).
+
+    Net: no executable holds a second full copy of the model — the
+    round-2 double-residency (and its batch-8 HBM OOM) is gone, and
+    serving's per-step jits stop re-paying full-model VPU unpack work.
+
+    ``donate=True`` frees each packed buffer as its replacement is built;
+    the caller MUST drop its reference to the input tree (rebind). No-op
+    off-TPU (unless ``force``, for tests) and for already-converted
+    params.
+    """
+    if jax.default_backend() != "tpu" and not force:
+        return params
+    if "layers" not in params or not _qleaves(params):
+        return params  # fp models / whisper: nothing to convert
+    if min_elems is None:
+        min_elems = NPACK_MIN_ELEMS
+
+    def conv_one(qt):
+        if not isinstance(qt, QTensor) or is_native(qt):
+            return qt
+        if qt.cfg.kind == "int" and 2 <= qt.cfg.bits <= 4 \
+                and qt.planes[0].dtype == jnp.uint8 \
+                and qt.K * qt.N >= min_elems:
+            fn = _JIT_NPACK if donate else _JIT_NPACK_KEEP
+        elif qt.cfg.kind == "int" and qt.cfg.bits >= 5 \
+                and qt.planes[0].dtype == jnp.uint8:
+            fn = _JIT_NATIVE if donate else _JIT_NATIVE_KEEP
+        else:
+            return qt
+        return fn(qt)
+
+    def conv_tree(tree):
+        return jax.tree.map(conv_one, tree,
+                            is_leaf=lambda x: isinstance(x, QTensor))
+
+    params = dict(params)
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        params["layers"] = tuple(conv_tree(lp) for lp in layers)
+    else:
+        # unstack (host-level slices; the stack frees when the caller
+        # rebinds) and convert per layer — whole-stack conversion would
+        # spike an L-times int32 unpack temp (measured 11 GB OOM on a
+        # fused 7B gate|up stack)
+        L = jax.tree.leaves(layers)[0].shape[0]
+        params["layers"] = tuple(
+            conv_tree(jax.tree.map(lambda a: a[l], layers))
+            for l in range(L))
+    rest = {k: conv_one(v) for k, v in params.items() if k != "layers"}
+    params.update(rest)
+    return params
+
+
+_JIT_NPACK = jax.jit(to_native_packed, donate_argnums=(0,))
+_JIT_NPACK_KEEP = jax.jit(to_native_packed)
+_JIT_NATIVE = jax.jit(to_native, donate_argnums=(0,))
+_JIT_NATIVE_KEEP = jax.jit(to_native)
 
 
 def prepare_params(params, native: Optional[bool] = None,
@@ -43,6 +133,13 @@ def prepare_params(params, native: Optional[bool] = None,
     Both run once per jit invocation and hoist out of the decode scan.
     Defaults (None) resolve to True on TPU, False elsewhere.
     """
+    qts = _qleaves(params)
+    if qts and all(is_native(q) for q in qts):
+        # native-at-rest params (params_to_native ran at load): every
+        # kernel consumes the stored planes directly — no conversion and
+        # no unstack copies (the layers are already per-layer tuples, so
+        # forward's unrolled branch reads them as plain jit inputs)
+        return params
     if native is None:
         native = jax.default_backend() == "tpu"
     if unroll is None:
@@ -94,19 +191,32 @@ def prepare_params(params, native: Optional[bool] = None,
     if native:
         params = dict(params)
         if isinstance(params["layers"], (list, tuple)):
-            # already unrolled: still sequence the conversions (same OOM)
-            out, prev = [], None
-            for lp in params["layers"]:
-                if prev is not None:
-                    lp, _ = jax.lax.optimization_barrier((lp, prev))
-                lp = conv(lp)
-                prev = jax.tree.leaves(lp)[0]
-                out.append(lp)
-            params["layers"] = tuple(out)
+            # already unrolled (the at-rest tuple layout): convert ONLY
+            # the packed tensors, sequencing just those — barriers must
+            # not touch the already-native leaves, or XLA demotes them
+            # from direct jit inputs to computed temps (a full extra copy
+            # of the model per call; measured +0.4 ms/tok and +2.5 GB on
+            # the hybrid 7B layout)
+            prev = [None]
+
+            def one_seq(l):
+                if not isinstance(l, QTensor) or is_native(l):
+                    return l
+                if l.K * l.N * 4 > (1 << 30):
+                    return l
+                if prev[0] is not None:
+                    l, _ = jax.lax.optimization_barrier((l, prev[0]))
+                l = to_native(l)
+                prev[0] = l.planes[0]
+                return l
+
+            params["layers"] = tuple(
+                jax.tree.map(one_seq, lp,
+                             is_leaf=lambda x: isinstance(x, QTensor))
+                for lp in params["layers"])
             rest = {k: v for k, v in params.items() if k != "layers"}
-            if prev is not None:
-                rest, _ = jax.lax.optimization_barrier((rest, prev))
-            params.update(conv(rest))
+            params.update(jax.tree.map(
+                one_seq, rest, is_leaf=lambda x: isinstance(x, QTensor)))
         else:
             params = conv(params)
     return params
