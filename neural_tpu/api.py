@@ -124,20 +124,23 @@ class Model:
                 sd.update(stn.load_file(f))
             # bits from the checkpoint's quantize_config.json (GPTQ covers
             # 2/3/4/8-bit layouts — reference quant_config.h:21-143)
-            bits = 4
+            bits, gsize = 4, None
             qc = getattr(cfg_hf, "quantization_config", None)
             if isinstance(qc, dict) and "bits" in qc:
                 bits = int(qc["bits"])
+                gsize = qc.get("group_size")
             else:
                 qcp = os.path.join(model_name_or_path,
                                    "quantize_config.json")
                 if os.path.exists(qcp):
                     import json as _json
                     with open(qcp) as fh:
-                        bits = int(_json.load(fh).get("bits", 4))
+                        qj = _json.load(fh)
+                    bits = int(qj.get("bits", 4))
+                    gsize = qj.get("group_size")
             self.params = params_from_gptq_state_dict(
                 sd, self.cfg, fmt="awq" if use_awq else "gptq", bits=bits,
-                dtype=jdt)
+                dtype=jdt, group_size=gsize)
         else:
             from .convert.hf import from_hf_model
             import transformers

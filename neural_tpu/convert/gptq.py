@@ -44,18 +44,23 @@ def unpack_int32_nibbles(x: np.ndarray, axis: int,
     return nib.reshape(shape).astype(np.uint8)
 
 
-def unpack_int32_fields(x: np.ndarray, bits: int, axis: int) -> np.ndarray:
-    """AutoGPTQ word unpack for bits ∈ {2, 3, 4, 8}: int32 array →
-    uint8 codes expanded ``32//bits``x (or 32 values per 3 words for
-    3-bit) along ``axis``, LSB-first.
+def unpack_int32_fields(x: np.ndarray, bits: int, axis: int,
+                        fmt3: str = "straddle",
+                        out_len: Optional[int] = None) -> np.ndarray:
+    """GPTQ word unpack for bits ∈ {2, 3, 4, 8}: int32 array → uint8
+    codes expanded along ``axis``, LSB-first. 2/4/8-bit pack 32//bits
+    values per word (all ecosystems agree).
 
-    Matches the AutoGPTQ ``pack()`` layouts the reference's quantized-model
-    importers consume (convert_quantized_llama.py:31-101 +
-    quant_config.h:21-143 quant_bits): 2/4/8-bit pack 32/bits values per
-    word; 3-bit packs 32 values per 3 words with the two straddled values
-    split across word boundaries (value 10: 2 low bits at word0[30:32] +
-    1 high bit at word1[0]; value 21: 1 low bit at word1[31] + 2 high
-    bits at word2[0:2])."""
+    3-bit has TWO circulating layouts:
+    - ``fmt3="straddle"`` — AutoGPTQ's qlinear ``pack()``: 32 values per
+      3 words, two values split across word boundaries (value 10: 2 low
+      bits at word0[30:32] + 1 high bit at word1[0]; value 21: 1 low bit
+      at word1[31] + 2 high bits at word2[0:2]).
+    - ``fmt3="tenper"`` — the layout the reference's importer consumes
+      (convert/common.py unpack_gptq_weight_3bits: offsets 0,3,...,27):
+      10 values per word, top 2 bits unused; the unpacked run truncates
+      to ``out_len`` real values.
+    """
     if bits in (2, 4, 8):
         per = 32 // bits
         x = x.astype(np.uint32)
@@ -67,6 +72,14 @@ def unpack_int32_fields(x: np.ndarray, bits: int, axis: int) -> np.ndarray:
         return v.reshape(shape).astype(np.uint8)
     assert bits == 3, bits
     x = np.moveaxis(x, axis, 0).astype(np.uint32)
+    if fmt3 == "tenper":
+        out = np.empty((x.shape[0], 10, *x.shape[1:]), np.uint8)
+        for j in range(10):
+            out[:, j] = (x >> (3 * j)) & 7
+        out = out.reshape(x.shape[0] * 10, *x.shape[1:])
+        if out_len is not None:
+            out = out[:out_len]
+        return np.moveaxis(out, 0, axis)
     assert x.shape[0] % 3 == 0, x.shape
     w = x.reshape(x.shape[0] // 3, 3, *x.shape[1:])
     w0, w1, w2 = w[:, 0], w[:, 1], w[:, 2]
@@ -83,18 +96,51 @@ def unpack_int32_fields(x: np.ndarray, bits: int, axis: int) -> np.ndarray:
     return np.moveaxis(out, 0, axis)
 
 
+def _sniff_fmt3(qzeros: np.ndarray, N: int) -> str:
+    """Detect the 3-bit layout from the zeros' packed width along N
+    (N is known from scales): 10-per-word → ceil(N/10) words; straddled
+    → N*3/32 words."""
+    width = qzeros.shape[1]
+    if width == -(-N // 10):
+        return "tenper"
+    if width * 32 == N * 3:
+        return "straddle"
+    raise ValueError(
+        f"unrecognized 3-bit qzeros width {width} for N={N} "
+        f"(expected {-(-N // 10)} ten-per-word or {N * 3 // 32} straddled)")
+
+
 def gptq_layer_to_qtensor(qweight: np.ndarray, qzeros: np.ndarray,
                           scales: np.ndarray, g_idx: Optional[np.ndarray],
                           bits: int = 4, zero_plus_one: bool = True,
-                          fmt: str = "gptq") -> QTensor:
+                          fmt: str = "gptq",
+                          group_size: Optional[int] = None) -> QTensor:
     """One quantized linear → QTensor ([K, N], groups along K).
 
     GPTQ supports bits ∈ {2, 3, 4, 8} (the reference quant framework's
     widths, quant_config.h:21-143); AWQ GEMM checkpoints are 4-bit."""
     if fmt == "gptq":
         assert bits in (2, 3, 4, 8), bits
-        codes = unpack_int32_fields(qweight, bits, axis=0)     # [K, N]
-        zeros = unpack_int32_fields(qzeros, bits, axis=1)      # [G, N]
+        G_, N_ = scales.shape
+        fmt3 = _sniff_fmt3(qzeros, N_) if bits == 3 else "straddle"
+        if bits == 3 and fmt3 == "tenper":
+            # the real K strips the word-pad rows: from g_idx when
+            # present, else group_size * n_groups
+            if g_idx is not None:
+                K_ = len(g_idx)
+            elif group_size is not None:
+                K_ = G_ * group_size
+            else:
+                raise ValueError(
+                    "ten-per-word 3-bit import needs g_idx or group_size "
+                    "to determine K (the packed rows carry pad values)")
+            codes = unpack_int32_fields(qweight, 3, axis=0, fmt3=fmt3,
+                                        out_len=K_)
+            zeros = unpack_int32_fields(qzeros, 3, axis=1, fmt3=fmt3,
+                                        out_len=N_)
+        else:
+            codes = unpack_int32_fields(qweight, bits, axis=0)  # [K, N]
+            zeros = unpack_int32_fields(qzeros, bits, axis=1)   # [G, N]
     elif fmt == "awq":
         assert bits == 4, "AWQ GEMM checkpoints are 4-bit"
         codes = unpack_int32_nibbles(qweight, axis=1, order=AWQ_ORDER)
@@ -191,7 +237,9 @@ def fold_act_order(per_layer: Dict[str, list], cfg) -> None:
 def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
                                 fmt: str = "gptq", bits: int = 4,
                                 zero_plus_one: Optional[bool] = None,
-                                dtype=jnp.bfloat16) -> Dict[str, Any]:
+                                dtype=jnp.bfloat16,
+                                group_size: Optional[int] = None
+                                ) -> Dict[str, Any]:
     """A GPTQ/AWQ llama-family HF state dict → params pytree.
 
     ``sd`` values are numpy (caller converts torch tensors). Non-quantized
@@ -213,7 +261,8 @@ def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
                 np.asarray(sd[base + "scales"]),
                 np.asarray(sd[base + "g_idx"]) if base + "g_idx" in sd
                 else None,
-                bits=bits, zero_plus_one=zero_plus_one, fmt=fmt)
+                bits=bits, zero_plus_one=zero_plus_one, fmt=fmt,
+                group_size=group_size)
             per_layer.setdefault(ours, []).append(qt)
         norms["attn_norm_w"].append(
             np.asarray(sd[p + "input_layernorm.weight"], np.float32))

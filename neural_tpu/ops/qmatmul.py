@@ -574,13 +574,17 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
         # (scripts/exp_kernels.py unroll1 variant). Measured negative
         # results for the native-pack variants (7B attn squares, v5e):
         # per-group bitcast 6.31 ms/tok, bf16 convert 6.76, vs 6.16 for
-        # the whole-block f32 bitcast here.
-        acc = jnp.zeros((xf.shape[0], tn), jnp.float32)
+        # the whole-block f32 bitcast here. TWO interleaved accumulators
+        # break the serial add chain across the G iterations (VPU ILP).
+        nacc = 2 if G % 2 == 0 else 1
+        accs = [jnp.zeros((xf.shape[0], tn), jnp.float32)
+                for _ in range(nacc)]
         for gi in range(G):
             part = jnp.dot(xf[:, gi * group_size:(gi + 1) * group_size],
                            w[gi * group_size:(gi + 1) * group_size, :],
                            preferred_element_type=jnp.float32)
-            acc = acc + part * s[gi].reshape(1, tn)
+            accs[gi % nacc] = accs[gi % nacc] + part * s[gi].reshape(1, tn)
+        acc = accs[0] if nacc == 1 else accs[0] + accs[1]
     else:
         wg = (w.astype(jnp.float32).reshape(G, group_size, tn)
               * s[:, None, :]).reshape(K, tn)

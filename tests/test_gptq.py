@@ -307,3 +307,44 @@ def test_import_odd_bits_matches_oracle(bits, act_order):
     # doesn't cancel on near-zero outputs), not with |out|
     atol = 5e-3 * float((np.abs(x) @ np.abs(ref)).mean()) + 2e-2
     np.testing.assert_allclose(out, exp, atol=atol, rtol=2e-2)
+
+
+def test_import_3bit_tenper_layout():
+    """The reference importer's 3-bit layout (10 values per int32 word,
+    top 2 bits unused — convert/common.py unpack_gptq_weight_3bits) is
+    auto-detected from the qzeros width and imports exactly."""
+    from neural_tpu.convert.gptq import unpack_int32_fields
+
+    rng = np.random.default_rng(33)
+    K, N, g = 96, 64, 32
+    codes = rng.integers(0, 8, (K, N)).astype(np.uint8)
+    G = K // g
+    scales = (rng.random((G, N)).astype(np.float32) * 0.05 + 0.01)
+    zeros = rng.integers(1, 7, (G, N)).astype(np.uint8)
+
+    def pack_tenper(vals, axis):
+        v = np.moveaxis(vals.astype(np.uint32), axis, 0)
+        n = v.shape[0]
+        words = -(-n // 10)
+        v = np.concatenate(
+            [v, np.zeros((words * 10 - n, *v.shape[1:]), np.uint32)])
+        v = v.reshape(words, 10, *v.shape[1:])
+        w = np.zeros((words, *v.shape[2:]), np.uint32)
+        for j in range(10):
+            w |= v[:, j] << (3 * j)
+        return np.moveaxis(w, 0, axis).view(np.int32)
+
+    qw = pack_tenper(codes, axis=0)
+    qz = pack_tenper((zeros.astype(np.int32) - 1).astype(np.uint8), axis=1)
+    assert qw.shape == (10, N) and qz.shape == (G, -(-N // 10))
+
+    # unpack round-trips with truncation
+    got = unpack_int32_fields(qw, 3, axis=0, fmt3="tenper", out_len=K)
+    np.testing.assert_array_equal(got, codes)
+
+    # full import via the auto-sniffed path (group_size supplies K)
+    qt = gptq_layer_to_qtensor(qw, qz, scales, None, bits=3, group_size=g)
+    exp = (codes.astype(np.float32)
+           - np.repeat(zeros, g, axis=0).astype(np.float32)) \
+        * np.repeat(scales, g, axis=0)
+    np.testing.assert_allclose(np.asarray(dequantize(qt)), exp, atol=1e-5)
