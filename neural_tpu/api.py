@@ -262,6 +262,17 @@ class Model:
             from .parallel.sharding import shard_params
             from .parallel.tp import tp_generate
             assert num_beams == 1, "beam search not supported under mesh"
+            unsupported = {
+                "streamer": streamer, "stopping_criteria": stopping_criteria,
+                "interactive": interactive or None,
+                "session_file": session_file,
+                "streaming": streaming or None,
+            }
+            bad = [k for k, v in unsupported.items() if v]
+            if bad:
+                raise ValueError(
+                    f"generate(mesh=...) does not support {bad}; run these "
+                    "on the single-device path (drop mesh=)")
             sp = SamplingParams(
                 greedy=not do_sample, temperature=temperature, top_k=top_k,
                 top_p=top_p, repeat_penalty=repetition_penalty)

@@ -128,12 +128,16 @@ def gptq_layer_to_qtensor(qweight: np.ndarray, qzeros: np.ndarray,
             # present, else group_size * n_groups
             if g_idx is not None:
                 K_ = len(g_idx)
-            elif group_size is not None:
+            elif group_size is not None and group_size > 0:
                 K_ = G_ * group_size
             else:
+                # group_size -1/None (HF quantize_config uses -1 for "one
+                # group over all of K") leaves K underdetermined here —
+                # G_*-1 would silently truncate the unpack to garbage.
                 raise ValueError(
-                    "ten-per-word 3-bit import needs g_idx or group_size "
-                    "to determine K (the packed rows carry pad values)")
+                    "ten-per-word 3-bit import needs g_idx or a positive "
+                    "group_size to determine K (the packed rows carry pad "
+                    f"values; got group_size={group_size!r})")
             codes = unpack_int32_fields(qweight, 3, axis=0, fmt3=fmt3,
                                         out_len=K_)
             zeros = unpack_int32_fields(qzeros, 3, axis=1, fmt3=fmt3,

@@ -20,11 +20,16 @@ bestla/bestla/bestla_storage.h:697) — without it every decode executable
 had to re-run the uint8→int4 conversion in-jit, keeping a second full copy
 of the model live (the round-2 HBM OOM).
 
-No-op on runtimes without the bug: the patch only rewrites comparisons
-that already agree physically, so behavior is identical on CPU/GPU/real
-TPU runtimes.
+No-op on runtimes without the bug: the handler is installed at import
+(it must be in place before the first dispatch), but the fast path only
+engages when the target sharding's devices belong to an axon client —
+checked per call on sub-byte args only. On CPU/GPU/real-TPU runtimes
+every argument flows through the original handler untouched. Disable
+entirely with ``NTPU_AXON_COMPAT=0``.
 """
 from __future__ import annotations
+
+import os
 
 _applied = False
 
@@ -32,6 +37,19 @@ _applied = False
 def _subbyte(dtype) -> bool:
     name = getattr(dtype, "name", str(dtype))
     return name in ("int4", "uint4", "int2", "uint2")
+
+
+def _is_axon(sharding) -> bool:
+    """True iff the sharding's devices are served by the axon PJRT plugin
+    (the only runtime with the sub-byte layout bug)."""
+    try:
+        dev = next(iter(sharding.device_set))
+    except Exception:
+        return False
+    if getattr(dev, "platform", "") == "axon":
+        return True
+    client = getattr(dev, "client", None)
+    return "axon" in str(getattr(client, "platform", "")).lower()
 
 
 def _same_physical(a, b) -> bool:
@@ -46,7 +64,7 @@ def _same_physical(a, b) -> bool:
 def apply() -> None:
     """Install the shard-arg layout shim (idempotent)."""
     global _applied
-    if _applied:
+    if _applied or os.environ.get("NTPU_AXON_COMPAT") == "0":
         return
     _applied = True
     try:
@@ -67,13 +85,16 @@ def apply() -> None:
         rest = []
         for i, (x, sharding, layout) in enumerate(
                 zip(xs, shardings, layouts)):
-            if _subbyte(getattr(x, "dtype", None)):
+            if _subbyte(getattr(x, "dtype", None)) and _is_axon(sharding):
                 try:
                     phys_ok = (layout is None
                                or _same_physical(x.format.layout, layout))
+                    # exact or provably-equivalent sharding only: a mere
+                    # device_set match (e.g. replicated vs tp-sharded over
+                    # the same devices) would silently pass wrong placement
                     shard_ok = (x.sharding == sharding
-                                or x.sharding.device_set
-                                == sharding.device_set)
+                                or x.sharding.is_equivalent_to(
+                                    sharding, x.ndim))
                     if phys_ok and shard_ok and not getattr(
                             x, "is_deleted", lambda: False)():
                         take[i] = x

@@ -468,8 +468,10 @@ def test_params_to_native_end_to_end():
     out2 = batched_generate(nat, cfg, rows, sp, max_new_tokens=6,
                             stop_at_eos=False)
     assert out == out2
-    for o, r in zip(out, ref):
-        assert o[:len(rows[0]) + 1] == r[:len(rows[0]) + 1] or True
+    for o, r, prompt in zip(out, ref, rows):
+        # prompt plus the first generated token must agree exactly: the
+        # first-step logit margins are far above bf16 scale rounding
+        assert o[:len(prompt) + 1] == r[:len(prompt) + 1]
         assert len(o) == len(r)
 
     # int8 KV also works over native-at-rest params
