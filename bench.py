@@ -109,6 +109,18 @@ def fetch(x):
     return float(jnp.asarray(x).astype(jnp.float32).reshape(-1)[0])
 
 
+def apply_residency(params, cfg, batch, S=2048, kv_dtype=None):
+    """Automatic packed vs native-at-rest choice for the leg's decode
+    shape (runtime.residency) — batch 1 keeps the fast packed path, the
+    batch-8 serving shape converts to single-copy native-at-rest instead
+    of OOMing on the in-jit conversion's double residency (the round-2/3
+    failure). Caller MUST rebind: the packed buffers are donated."""
+    import jax.numpy as jnp
+    from neural_tpu.runtime.residency import ensure_decode_residency
+    return ensure_decode_residency(params, cfg, batch, S,
+                                   kv_dtype or jnp.bfloat16)
+
+
 def bench_decode(params, cfg, S=2048, prompt_len=128, lo=4, hi=36,
                  kv_dtype=None, batch=1):
     import jax.numpy as jnp
@@ -180,6 +192,7 @@ def leg_decode():
     """fill-128 and fill-1975 greedy decode, bf16 KV. Headline source."""
     cfg = _llama2_7b()
     params = rand_quant_params(cfg)
+    params = apply_residency(params, cfg, batch=1)   # keeps packed (fits)
     tps, ms = bench_decode(params, cfg)
     _, ms_1975 = bench_decode(params, cfg, prompt_len=1975)
     return {"decode_tps": tps, "next_token_ms": ms,
@@ -190,6 +203,7 @@ def leg_decode_i8kv():
     """fill-1975 decode with int8 KV (the reference's packed-KV default)."""
     cfg = _llama2_7b()
     params = rand_quant_params(cfg)
+    params = apply_residency(params, cfg, batch=1, kv_dtype="int8")
     _, ms = bench_decode(params, cfg, prompt_len=1975, kv_dtype="int8")
     return {"next_token_ms_fill1975_int8kv": ms}
 
@@ -202,6 +216,7 @@ def leg_batch8():
     packed+converted weights exceeded HBM (round-2 OOM)."""
     cfg = _llama2_7b()
     params = rand_quant_params(cfg)
+    params = apply_residency(params, cfg, batch=8, kv_dtype="int8")
     tps, step_ms = bench_decode(params, cfg, batch=8, kv_dtype="int8")
     return {"batch8_agg_tokens_per_sec": tps, "batch8_step_ms": step_ms,
             "batch8_kv_dtype": "int8"}

@@ -247,12 +247,21 @@ class Model:
         prompt is a prefix of this one, the matched prefix skips
         re-evaluation; after prefill the state is saved back."""
         assert self.params is not None, "call init first"
-        self._ensure_native()
         import jax.numpy as jnp
         from .utils.profiling import Timings, maybe_trace
         timings = Timings()
         kvdt = jnp.int8 if kv_dtype in ("int8", jnp.int8) else jnp.bfloat16
         rows = _to_id_list(input_ids)
+        if mesh is None:
+            # pick the weight residency that fits this decode shape (packed
+            # when there's headroom, native-at-rest when the in-jit
+            # conversion copy + KV would exceed HBM — e.g. batch 8 on one
+            # 16 GB chip); mesh path shards the weights instead.
+            Tmax = max((len(r) for r in rows), default=0)
+            S_est = max_len or (self.cfg.max_seq_len if (
+                interactive or session_file is not None) else
+                min(self.cfg.max_seq_len, Tmax + max_new_tokens))
+            self._ensure_native(len(rows), S_est, kvdt)
         if mesh is not None:
             # tensor/data-parallel generation over a jax Mesh: one sharded
             # ragged prefill + one on-device sharded decode loop with the
@@ -467,25 +476,28 @@ class Model:
             self._session = (cache, pos, S)
         return out
 
-    def _ensure_native(self):
-        """Opt-in (NTPU_NATIVE_AT_REST=1) one-time on-TPU conversion of
-        the params to the at-rest decode format (uint8 native-pack /
-        int8 code planes) — see runtime.generate.params_to_native.
-        Trades ~15% decode slope for a single-copy HBM footprint and
-        conversion-free per-step executables (measured on a 7B: 6.1-6.7
-        vs 5.3-5.5 ms/tok, but batch-8 bf16-KV@2048 fits one 16 GB chip
-        at 889 tok/s aggregate and serving jits stop re-paying ~3.5 GB
-        of VPU unpack per invocation). Default stays the packed form +
-        in-jit conversion, which wins steady-state decode throughput."""
-        if getattr(self, "_native_done", None) is self.params:
+    def _ensure_native(self, batch: int = 1, S: Optional[int] = None,
+                       kv_dtype=None):
+        """Automatic per-shape weight residency (runtime.residency): keep
+        the packed form + in-jit conversion when it fits (fastest decode
+        slope, 5.3-5.5 ms/tok on a 7B), convert ONCE to the at-rest native
+        format (uint8 native-pack / int8 code planes) when the packed
+        path's double residency plus this call's KV would exceed HBM —
+        measured on a 7B: native-at-rest costs ~15% slope (6.1-6.7 ms/tok
+        batch-1) but batch-8 KV@2048 then fits one 16 GB chip (889 tok/s
+        aggregate) where the packed path OOMs. ``NTPU_NATIVE_AT_REST=1/0``
+        still forces either way."""
+        if self.params is None:
             return
-        import os
-        import jax
-        if (self.params is not None and jax.default_backend() == "tpu"
-                and os.environ.get("NTPU_NATIVE_AT_REST") == "1"):
-            from .runtime.generate import params_to_native
-            self.params = params_to_native(self.params)
-        self._native_done = self.params
+        key = (id(self.params), batch, S)
+        if getattr(self, "_residency_key", None) == key:
+            return
+        import jax.numpy as jnp
+        from .runtime.residency import ensure_decode_residency
+        self.params = ensure_decode_residency(
+            self.params, self.cfg, batch, S,
+            jnp.bfloat16 if kv_dtype is None else kv_dtype)
+        self._residency_key = (id(self.params), batch, S)
 
     def is_token_end(self) -> bool:
         """reference Model.is_token_end (__init__.py:414)."""

@@ -246,14 +246,15 @@ class Scheduler:
         are overwritten by the next prefill). Greedy outputs are identical
         to decode_block=1; sampled outputs draw the same distribution from
         a different key stream."""
-        # opt-in at-rest native conversion (NTPU_NATIVE_AT_REST=1): one
-        # weight copy in HBM and conversion-free per-step jits, at ~15%
-        # decode slope (see api.Model._ensure_native). donate=False:
-        # callers may share the packed tree across schedulers.
-        import os
-        if os.environ.get("NTPU_NATIVE_AT_REST") == "1":
-            from ..runtime.generate import params_to_native
-            params = params_to_native(params, donate=False)
+        # automatic weight residency for the serving shape (batch ×
+        # max_len × kv dtype): packed + in-jit conversion when it fits,
+        # native-at-rest when the double residency would OOM (the batch-8
+        # serving config on one 16 GB chip) — runtime.residency policy,
+        # NTPU_NATIVE_AT_REST=1/0 still forces. donate=False: callers may
+        # share the packed tree across schedulers.
+        from ..runtime.residency import ensure_decode_residency
+        params = ensure_decode_residency(params, cfg, max_batch, max_len,
+                                         kv_dtype, donate=False)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch

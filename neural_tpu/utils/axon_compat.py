@@ -39,9 +39,14 @@ def _subbyte(dtype) -> bool:
     return name in ("int4", "uint4", "int2", "uint2")
 
 
+_axon_clients = {}
+
+
 def _is_axon(sharding) -> bool:
     """True iff the sharding's devices are served by the axon PJRT plugin
-    (the only runtime with the sub-byte layout bug)."""
+    (the only runtime with the sub-byte layout bug). The plugin reports
+    device.platform == "tpu"; only client.platform_version carries the
+    "axon X.Y.Z" banner — cache the answer per client."""
     try:
         dev = next(iter(sharding.device_set))
     except Exception:
@@ -49,7 +54,14 @@ def _is_axon(sharding) -> bool:
     if getattr(dev, "platform", "") == "axon":
         return True
     client = getattr(dev, "client", None)
-    return "axon" in str(getattr(client, "platform", "")).lower()
+    key = id(client)
+    hit = _axon_clients.get(key)
+    if hit is None:
+        hit = "axon" in (str(getattr(client, "platform", ""))
+                         + str(getattr(client, "platform_version", ""))
+                         ).lower()
+        _axon_clients[key] = hit
+    return hit
 
 
 def _same_physical(a, b) -> bool:
