@@ -238,58 +238,104 @@ def fold_act_order(per_layer: Dict[str, list], cfg) -> None:
                                          None, wd.cfg)
 
 
+def qtensor_state_dict(sd: Dict[str, np.ndarray], fmt: str = "gptq",
+                       bits: int = 4,
+                       zero_plus_one: Optional[bool] = None,
+                       group_size: Optional[int] = None
+                       ) -> Dict[str, Any]:
+    """Rewrite a GPTQ/AWQ state dict into fp-map form: every quantized
+    linear's ``<base>.qweight``/``qzeros``/``scales``/``g_idx`` quartet
+    collapses to ONE :class:`QTensor` at ``<base>.weight`` (our [K, N]
+    orientation — GPTQ packs along in-features); everything else (norms,
+    biases, embeddings, fp lm_head) passes through as numpy. The result
+    feeds the ordinary family tensor maps (convert.hf.build_params), which
+    is what makes the importer arch-generic — the reference ships one
+    convert_quantized_<family>.py per model family instead
+    (convert/convert_quantized_{llama,qwen,phi,falcon,gptj,baichuan,
+    mistral,mixtral}.py)."""
+    if zero_plus_one is None:
+        zero_plus_one = fmt == "gptq"
+    bases = {k[: -len(".qweight")] for k in sd if k.endswith(".qweight")}
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        base, _, leaf = k.rpartition(".")
+        if leaf == "qweight":
+            out[base + ".weight"] = gptq_layer_to_qtensor(
+                np.asarray(sd[base + ".qweight"]),
+                np.asarray(sd[base + ".qzeros"]),
+                np.asarray(sd[base + ".scales"]),
+                np.asarray(sd[base + ".g_idx"]) if base + ".g_idx" in sd
+                else None,
+                bits=bits, zero_plus_one=zero_plus_one, fmt=fmt,
+                group_size=group_size)
+        elif base in bases and leaf in ("qzeros", "scales", "g_idx"):
+            continue
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _fold_act_order_sd(qsd: Dict[str, Any], cfg, mod) -> None:
+    """sd-level act-order fold (see :func:`fold_act_order`): per layer,
+    fold w_down's stored-row permutation into the producing gate/up OUTPUT
+    columns (and their bias vectors) — exact, because the elementwise
+    act⊗up block between them commutes with any column permutation."""
+    for i in range(cfg.n_layers):
+        m = mod.hf_layer_map(i, cfg)
+        groups = [("w_down", "w_gate", "w_up", "b_gate", "b_up")]
+        if cfg.is_moe:
+            groups = [(f"experts.{e}.w_down", f"experts.{e}.w_gate",
+                       f"experts.{e}.w_up", None, None)
+                      for e in range(cfg.n_experts)]
+        for nd, ng, nu, nbg, nbu in groups:
+            ed, eg, eu = m.get(nd), m.get(ng), m.get(nu)
+            if not (ed and eg and eu):
+                continue
+            wd, wg, wu = (qsd.get(e[0]) for e in (ed, eg, eu))
+            if not all(isinstance(w, QTensor) for w in (wd, wg, wu)) \
+                    or wd.perm is None:
+                continue
+            p = np.asarray(wd.perm)
+            qsd[eg[0]] = permute_cols(wg, p)
+            qsd[eu[0]] = permute_cols(wu, p)
+            qsd[ed[0]] = QTensor(wd.planes, wd.scales, wd.zeros, None,
+                                 wd.cfg)
+            for nb in (nbg, nbu):
+                eb = m.get(nb) if nb else None
+                if eb and eb[0] in qsd:
+                    qsd[eb[0]] = np.asarray(qsd[eb[0]])[p]
+
+
 def params_from_gptq_state_dict(sd: Dict[str, np.ndarray], cfg,
                                 fmt: str = "gptq", bits: int = 4,
                                 zero_plus_one: Optional[bool] = None,
                                 dtype=jnp.bfloat16,
-                                group_size: Optional[int] = None
-                                ) -> Dict[str, Any]:
-    """A GPTQ/AWQ llama-family HF state dict → params pytree.
+                                group_size: Optional[int] = None,
+                                arch_mod=None) -> Dict[str, Any]:
+    """A GPTQ/AWQ HF state dict → params pytree, for ANY registered
+    family (reference: the convert_quantized_* converter set) — including
+    quantized-MoE Mixtral experts. ``sd`` values are numpy (caller
+    converts torch tensors). Non-quantized tensors (norms, embeddings,
+    lm_head) pass through as in the fp path; fused layouts (qwen c_attn,
+    phi-3 qkv/gate_up, falcon query_key_value, ...) are split by the same
+    family preprocess hooks as fp imports, QTensor-aware."""
+    from .hf import ARCH_MODULES, build_params
+    from ..models import llama as llama_mod
+    mod = arch_mod or ARCH_MODULES.get(cfg.arch, llama_mod)
 
-    ``sd`` values are numpy (caller converts torch tensors). Non-quantized
-    tensors (norms, embeddings, lm_head) pass through as in the fp path.
-    """
-    from .hf import _add_aux
-    if zero_plus_one is None:
-        zero_plus_one = fmt == "gptq"
+    qsd = qtensor_state_dict(sd, fmt, bits, zero_plus_one, group_size)
+    if hasattr(mod, "preprocess_state_dict"):
+        # split fused quartets BEFORE the act-order fold so gate/up exist
+        # under their mapped names (idempotent: build_params re-runs it)
+        qsd = mod.preprocess_state_dict(dict(qsd), cfg)
+    _fold_act_order_sd(qsd, cfg, mod)
+    params = build_params(qsd, cfg, mod, quant=None, dtype=dtype)
 
-    per_layer: Dict[str, list] = {}
-    norms: Dict[str, list] = {"attn_norm_w": [], "ffn_norm_w": []}
-    for i in range(cfg.n_layers):
-        p = f"model.layers.{i}."
-        for suffix, ours in _GPTQ_SUFFIX.items():
-            base = p + suffix + "."
-            qt = gptq_layer_to_qtensor(
-                np.asarray(sd[base + "qweight"]),
-                np.asarray(sd[base + "qzeros"]),
-                np.asarray(sd[base + "scales"]),
-                np.asarray(sd[base + "g_idx"]) if base + "g_idx" in sd
-                else None,
-                bits=bits, zero_plus_one=zero_plus_one, fmt=fmt,
-                group_size=group_size)
-            per_layer.setdefault(ours, []).append(qt)
-        norms["attn_norm_w"].append(
-            np.asarray(sd[p + "input_layernorm.weight"], np.float32))
-        norms["ffn_norm_w"].append(
-            np.asarray(sd[p + "post_attention_layernorm.weight"], np.float32))
-
-    fold_act_order(per_layer, cfg)
-    layers = {n: jax.tree.map(lambda *xs: jnp.stack(xs), *v)
-              for n, v in per_layer.items()}
-    layers.update({n: jnp.asarray(np.stack(v)) for n, v in norms.items()})
-    params: Dict[str, Any] = {
-        "layers": layers,
-        "embed": jnp.asarray(np.asarray(sd["model.embed_tokens.weight"]),
-                             dtype),
-        "final_norm_w": jnp.asarray(np.asarray(sd["model.norm.weight"]),
-                                    jnp.float32),
-    }
-    if "lm_head.weight" in sd:
-        params["lm_head"] = jnp.asarray(
-            np.asarray(sd["lm_head.weight"]).T, dtype)
-    _add_aux(params, cfg)
     if any(isinstance(v, QTensor) and v.perm is not None
-           for v in layers.values()):
+           for v in jax.tree.leaves(
+               params["layers"],
+               is_leaf=lambda x: isinstance(x, QTensor))
+           if isinstance(v, QTensor)):
         # act-order: fuse qkv / gate-up so each fused GEMM pays ONE shared
         # activation gather (same-Hessian projections share g_idx) — 3
         # gathers/layer instead of 6 on the decode path.

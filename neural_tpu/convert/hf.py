@@ -57,8 +57,20 @@ def resolve_quant(quant: Union[None, str, QuantConfig]) -> Optional[QuantConfig]
 
 def _get(sd, name, transpose):
     w = sd[name]
+    if hasattr(w, "planes"):
+        # already-imported QTensor (GPTQ/AWQ path): GPTQ packs along
+        # in-features, so the tensor is in our [K, N] orientation
+        # regardless of the fp map's transpose flag
+        return w
     w = np.asarray(w, np.float32)
     return w.T if transpose else w
+
+
+def _stack_any(ws, dtype):
+    """Stack a list of per-layer tensors (QTensors or numpy) along L."""
+    if hasattr(ws[0], "planes"):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+    return jnp.asarray(np.stack(ws), dtype)
 
 
 def _quantize_one(w, qcfg: QuantConfig):
@@ -153,6 +165,9 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
     Ip = ffn_padded_size(cfg.intermediate_size) if ffn_quant else None
     for n in plain:
         ws = [_get(sd, *layer_maps[i][n]) for i in range(cfg.n_layers)]
+        if hasattr(ws[0], "planes"):      # pre-quantized (GPTQ/AWQ) import
+            layers[n] = _stack_any(ws, dtype)
+            continue
         if Ip is not None and Ip != cfg.intermediate_size:
             if n in ("w_gate", "w_up") and ws[0].shape[-1] == \
                     cfg.intermediate_size:
@@ -172,7 +187,11 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
         for sub in expert_subs:
             ws = [[_get(sd, *layer_maps[i][f"experts.{e}.{sub}"])
                    for e in range(cfg.n_experts)] for i in range(cfg.n_layers)]
-            if sub in quant_names and qcfg is not None:
+            if hasattr(ws[0][0], "planes"):    # pre-quantized experts
+                per_layer = [_stack_any(row, dtype) for row in ws]
+                experts[sub] = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *per_layer)
+            elif sub in quant_names and qcfg is not None:
                 per_layer = [_stack_quantize(row, qcfg, dtype) for row in ws]
                 experts[sub] = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *per_layer)
@@ -188,7 +207,9 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
     # ---- top-level params
     for n, (hf_name, tr) in mod.hf_top_map(cfg).items():
         w = _get(sd, hf_name, tr)
-        if n == "lm_head" and qcfg is not None and "lm_head" in quant_names:
+        if hasattr(w, "planes"):            # pre-quantized (GPTQ) tensor
+            params[n] = w
+        elif n == "lm_head" and qcfg is not None and "lm_head" in quant_names:
             params[n] = _quantize_one(w, qcfg)
         elif n in ("embed", "pos_embed"):
             params[n] = jnp.asarray(w, dtype)

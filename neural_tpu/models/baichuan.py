@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import ModelConfig
-from ._defuse import split_concat
+from ._defuse import asw, split_concat
 
 
 def config_from_hf(c) -> ModelConfig:
@@ -35,7 +35,7 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
         base = f"model.layers.{i}.self_attn.W_pack."
         if base + "weight" not in sd:
             continue
-        q, k, v = split_concat(np.asarray(sd.pop(base + "weight")),
+        q, k, v = split_concat(asw(sd.pop(base + "weight")),
                                cfg.q_dim, cfg.kv_dim)
         sd.update({base + "_q": q, base + "_k": k, base + "_v": v})
     return sd

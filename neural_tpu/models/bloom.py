@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import ModelConfig
-from ._defuse import split_interleaved
+from ._defuse import asw, split_interleaved
 
 
 def config_from_hf(c) -> ModelConfig:
@@ -30,7 +30,7 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
         base = f"transformer.h.{i}.self_attention.query_key_value."
         if base + "weight" not in sd:
             continue
-        q, k, v = split_interleaved(np.asarray(sd.pop(base + "weight")),
+        q, k, v = split_interleaved(asw(sd.pop(base + "weight")),
                                     cfg.n_heads, cfg.head_dim)
         qb, kb, vb = split_interleaved(np.asarray(sd.pop(base + "bias")),
                                        cfg.n_heads, cfg.head_dim)

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import ModelConfig
-from ._defuse import split_concat, split_interleaved
+from ._defuse import asw, split_concat, split_interleaved, split_rows
 
 
 def config_from_hf(c) -> ModelConfig:
@@ -117,7 +117,7 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
         p = f"transformer.encoder.layers.{i}."
         qkv = p + "self_attention.query_key_value."
         if qkv + "weight" in sd:
-            q, k, v = split_concat(np.asarray(sd.pop(qkv + "weight")),
+            q, k, v = split_concat(asw(sd.pop(qkv + "weight")),
                                    cfg.q_dim, cfg.kv_dim)
             sd.update({qkv + "_q": q, qkv + "_k": k, qkv + "_v": v})
             if qkv + "bias" in sd:
@@ -126,9 +126,8 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
                 sd.update({qkv + "_qb": qb, qkv + "_kb": kb, qkv + "_vb": vb})
         h4 = p + "mlp.dense_h_to_4h.weight"
         if h4 in sd:
-            w = np.asarray(sd.pop(h4))
-            sd[p + "mlp._gate"] = w[: cfg.intermediate_size]
-            sd[p + "mlp._up"] = w[cfg.intermediate_size:]
+            g, u = split_rows(asw(sd.pop(h4)), cfg.intermediate_size)
+            sd[p + "mlp._gate"], sd[p + "mlp._up"] = g, u
     return sd
 
 

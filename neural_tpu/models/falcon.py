@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import ModelConfig
-from ._defuse import split_falcon
+from ._defuse import asw, split_falcon
 
 
 def config_from_hf(c) -> ModelConfig:
@@ -50,7 +50,7 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
         base = f"transformer.h.{i}.self_attention.query_key_value."
         if base + "weight" not in sd:
             continue
-        q, k, v = split_falcon(np.asarray(sd.pop(base + "weight")),
+        q, k, v = split_falcon(asw(sd.pop(base + "weight")),
                                cfg.n_heads, cfg.n_kv_heads, cfg.head_dim,
                                new_arch, multi_query)
         sd.update({base + "_q": q, base + "_k": k, base + "_v": v})

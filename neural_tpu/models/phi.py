@@ -5,7 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import ModelConfig
-from ._defuse import split_concat
+from ._defuse import asw, split_concat, split_rows
 
 
 def config_from_hf(c) -> ModelConfig:
@@ -53,15 +53,14 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
         p = f"model.layers.{i}."
         qkv = p + "self_attn.qkv_proj.weight"
         if qkv in sd:
-            q, k, v = split_concat(np.asarray(sd.pop(qkv)),
+            q, k, v = split_concat(asw(sd.pop(qkv)),
                                    cfg.q_dim, cfg.kv_dim)
             sd.update({p + "self_attn._q": q, p + "self_attn._k": k,
                        p + "self_attn._v": v})
         gu = p + "mlp.gate_up_proj.weight"
         if gu in sd:
-            w = np.asarray(sd.pop(gu))
-            sd[p + "mlp._gate"] = w[: cfg.intermediate_size]
-            sd[p + "mlp._up"] = w[cfg.intermediate_size:]
+            g, u = split_rows(asw(sd.pop(gu)), cfg.intermediate_size)
+            sd[p + "mlp._gate"], sd[p + "mlp._up"] = g, u
     return sd
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import ModelConfig
-from ._defuse import split_concat
+from ._defuse import asw, split_concat
 from . import llama as llama_mod
 
 
@@ -42,7 +42,7 @@ def preprocess_state_dict(sd, cfg: ModelConfig):
         base = f"transformer.h.{i}.attn.c_attn."
         if base + "weight" not in sd:
             continue
-        q, k, v = split_concat(np.asarray(sd.pop(base + "weight")),
+        q, k, v = split_concat(asw(sd.pop(base + "weight")),
                                cfg.q_dim, cfg.kv_dim)
         qb, kb, vb = split_concat(np.asarray(sd.pop(base + "bias")),
                                   cfg.q_dim, cfg.kv_dim)
