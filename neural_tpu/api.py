@@ -44,8 +44,12 @@ def quant_config_from_args(weight_dtype="int4", alg="sym", group_size=32,
     prefill; "bf16"/"fp16"/"fp32" keep bf16 activations. ``use_ggml`` maps
     to the ggml-compatible q4_0/q4_1 layouts (sym/asym, group 32).
     """
-    if weight_dtype is None or isinstance(weight_dtype, QuantConfig):
+    from .convert.quant_registry import MIXED_PRESETS, QuantRegistry
+    if weight_dtype is None or isinstance(weight_dtype,
+                                          (QuantConfig, QuantRegistry)):
         return weight_dtype
+    if weight_dtype in MIXED_PRESETS:   # e.g. "mix_int2_int4" (reference
+        return MIXED_PRESETS[weight_dtype]  # "llama int2&int4 mixed")
     if weight_dtype in PRESETS:
         return PRESETS[weight_dtype]
     sym = alg == "sym"
@@ -142,11 +146,32 @@ class Model:
                 sd, self.cfg, fmt="awq" if use_awq else "gptq", bits=bits,
                 dtype=jdt, group_size=gsize)
         else:
-            from .convert.hf import from_hf_model
-            import transformers
-            model = transformers.AutoModelForCausalLM.from_pretrained(
-                model_name_or_path, trust_remote_code=trust_remote_code)
-            self.params, self.cfg = from_hf_model(model, weight_dtype, jdt)
+            import glob as _glob
+            from .convert.hf import ARCH_MODULES
+            streamable = False
+            if os.path.isdir(model_name_or_path) and _glob.glob(
+                    os.path.join(model_name_or_path, "*.safetensors")):
+                try:
+                    cfg_hf = transformers.AutoConfig.from_pretrained(
+                        model_name_or_path,
+                        trust_remote_code=trust_remote_code)
+                    streamable = cfg_hf.model_type in ARCH_MODULES
+                except Exception:
+                    streamable = False
+            if streamable:
+                # streamed shard-at-a-time conversion: never instantiates
+                # the torch model, host RSS ≈ one layer + one shard (the
+                # reference's LazyTensor path, convert_llama.py:146-520);
+                # this is what makes 70B-class checkpoints convertible
+                from .convert.stream import params_from_hf_dir
+                self.params, self.cfg = params_from_hf_dir(
+                    model_name_or_path, weight_dtype, jdt)
+            else:
+                from .convert.hf import from_hf_model
+                model = transformers.AutoModelForCausalLM.from_pretrained(
+                    model_name_or_path, trust_remote_code=trust_remote_code)
+                self.params, self.cfg = from_hf_model(model, weight_dtype,
+                                                      jdt)
         try:
             import transformers
             self.tokenizer = transformers.AutoTokenizer.from_pretrained(

@@ -49,9 +49,14 @@ register_arch(["chatglm", "chatglm1"], chatglm)
 register_arch(["grok", "grok-1"], grok)
 
 
-def resolve_quant(quant: Union[None, str, QuantConfig]) -> Optional[QuantConfig]:
-    if quant is None or isinstance(quant, QuantConfig):
+def resolve_quant(quant: Union[None, str, QuantConfig]):
+    """Preset name / QuantConfig / QuantRegistry / mixed-preset name →
+    QuantConfig or QuantRegistry (or None)."""
+    from .quant_registry import MIXED_PRESETS, QuantRegistry
+    if quant is None or isinstance(quant, (QuantConfig, QuantRegistry)):
         return quant
+    if quant in MIXED_PRESETS:
+        return MIXED_PRESETS[quant]
     return PRESETS[quant]
 
 
@@ -83,12 +88,18 @@ def _quantize_one(w, qcfg: QuantConfig):
     return quantize(jnp.asarray(w), qcfg)
 
 
-def requantize(params, qcfg: QuantConfig):
+def requantize(params, qcfg):
     """Re-quantize every QTensor leaf of a params pytree to ``qcfg``
     (dequantize → RTN quantize; the reference quant_model file→file path,
     quant_utils.cpp:269). Stacked [L, ...] QTensors are handled per layer.
+    ``qcfg`` may be a QuantRegistry (per-tensor mixed-bit requantization).
     Raises for fp params — quantize those at conversion (Model.init)."""
     from ..core.qtensor import QTensor, dequantize
+    from .quant_registry import QuantRegistry
+
+    qcfg = resolve_quant(qcfg)
+    if isinstance(qcfg, QuantRegistry):
+        return _requantize_registry(params, qcfg)
 
     found = [False]
 
@@ -106,6 +117,56 @@ def requantize(params, qcfg: QuantConfig):
 
     out = jax.tree.map(one, params,
                        is_leaf=lambda l: isinstance(l, QTensor))
+    if not found[0]:
+        raise ValueError("params hold no quantized tensors; quantize at "
+                         "conversion time via Model.init(weight_dtype=...)")
+    return out
+
+
+def _requantize_registry(params, reg):
+    """Registry-driven requantization: per-name (and per-layer) configs.
+    A rule of None dequantizes the tensor to bf16. Non-MoE layers only;
+    stacked inputs restack when the registry is layer-uniform, otherwise
+    the result uses the per-layer tuple layout."""
+    from ..core.qtensor import QTensor, dequantize
+
+    layers = params["layers"]
+    is_tuple = isinstance(layers, (list, tuple))
+    if (not is_tuple and "experts" in layers) or \
+            (is_tuple and "experts" in layers[0]):
+        raise NotImplementedError(
+            "registry requantization of MoE experts is unsupported")
+    found = [False]
+
+    def req(leaf, name, i):
+        if not isinstance(leaf, QTensor):
+            return leaf
+        found[0] = True
+        qc = reg.resolve(name, i)
+        w = np.asarray(dequantize(leaf))
+        return _quantize_one(w, qc) if qc is not None \
+            else jnp.asarray(w, jnp.bfloat16)
+
+    out = dict(params)
+    if is_tuple:
+        out["layers"] = tuple(
+            {k: req(v, k, i) for k, v in lp.items()}
+            for i, lp in enumerate(layers))
+    else:
+        L = jax.tree.leaves(layers)[0].shape[0]
+        qnames = [k for k, v in layers.items() if isinstance(v, QTensor)]
+        per = [{k: req(jax.tree.map(lambda a: a[i], v), k, i)
+                for k, v in layers.items()} for i in range(L)]
+        if all(reg.uniform_for(k, L)[0] for k in qnames):
+            out["layers"] = {
+                k: jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[p[k] for p in per])
+                for k in layers}
+        else:
+            out["layers"] = tuple(per)
+    for k, v in params.items():
+        if k != "layers" and isinstance(v, QTensor):
+            out[k] = req(v, k, None)
     if not found[0]:
         raise ValueError("params hold no quantized tensors; quantize at "
                          "conversion time via Model.init(weight_dtype=...)")
@@ -146,8 +207,13 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
                  dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Assemble the param pytree: stacked layers + top-level tensors + rope
     tables. ``quant`` applies to the tensors the family lists in
-    QUANT_TENSORS (reference per-layer quant config analog)."""
+    QUANT_TENSORS; it may be a :class:`~neural_tpu.convert.quant_registry.
+    QuantRegistry` for per-tensor mixed-bit configs (reference
+    quant_config.h:180-239) — layer-heterogeneous rules emit the per-layer
+    tuple layout instead of stacked [L, ...] arrays."""
+    from .quant_registry import QuantRegistry
     qcfg = resolve_quant(quant)
+    reg = qcfg if isinstance(qcfg, QuantRegistry) else None
     quant_names = set(getattr(mod, "QUANT_TENSORS", ()))
     if hasattr(mod, "preprocess_state_dict"):
         sd = mod.preprocess_state_dict(dict(sd), cfg)
@@ -179,7 +245,18 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
                     cfg.intermediate_size:
                 ws = [np.pad(w, (0, Ip - w.shape[-1])) for w in ws]
         if n in quant_names and qcfg is not None and ws[0].ndim == 2:
-            layers[n] = _stack_quantize(ws, qcfg, dtype)
+            if reg is None:
+                layers[n] = _stack_quantize(ws, qcfg, dtype)
+            else:
+                uni, cfgs = reg.uniform_for(n, cfg.n_layers)
+                if uni:
+                    layers[n] = _stack_quantize(ws, cfgs[0], dtype)
+                else:
+                    # mixed bits across layers: per-layer leaves (tuple
+                    # layout assembled below)
+                    layers[n] = [_quantize_one(w, c) if c is not None
+                                 else jnp.asarray(w, dtype)
+                                 for w, c in zip(ws, cfgs)]
         else:
             layers[n] = jnp.asarray(np.stack(ws), dtype)
     if expert_subs:
@@ -192,7 +269,8 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
                 experts[sub] = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *per_layer)
             elif sub in quant_names and qcfg is not None:
-                per_layer = [_stack_quantize(row, qcfg, dtype) for row in ws]
+                ecfg = reg.resolve(sub) if reg is not None else qcfg
+                per_layer = [_stack_quantize(row, ecfg, dtype) for row in ws]
                 experts[sub] = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *per_layer)
             else:
@@ -202,15 +280,32 @@ def build_params(sd: Dict[str, np.ndarray], cfg: ModelConfig, mod,
         for n, arr in mod.layer_flags(cfg).items():
             layers[n] = jnp.asarray(arr)
 
+    hetero = [n for n, v in layers.items() if isinstance(v, list)]
+    if hetero:
+        # layer-heterogeneous registry: emit the per-layer tuple layout
+        # (the same at-rest format params_to_native produces)
+        if expert_subs:
+            raise NotImplementedError(
+                "layer-heterogeneous quant registries are not supported "
+                "for MoE experts; use layer-uniform rules")
+
+        def at(v, i):
+            return v[i] if isinstance(v, list) else \
+                jax.tree.map(lambda a: a[i], v)
+        layers = tuple({k: at(v, i) for k, v in layers.items()}
+                       for i in range(cfg.n_layers))
+
     params: Dict[str, Any] = {"layers": layers}
 
     # ---- top-level params
+    head_cfg = reg.resolve("lm_head") if reg is not None else qcfg
     for n, (hf_name, tr) in mod.hf_top_map(cfg).items():
         w = _get(sd, hf_name, tr)
         if hasattr(w, "planes"):            # pre-quantized (GPTQ) tensor
             params[n] = w
-        elif n == "lm_head" and qcfg is not None and "lm_head" in quant_names:
-            params[n] = _quantize_one(w, qcfg)
+        elif n == "lm_head" and head_cfg is not None \
+                and "lm_head" in quant_names:
+            params[n] = _quantize_one(w, head_cfg)
         elif n in ("embed", "pos_embed"):
             params[n] = jnp.asarray(w, dtype)
         else:
