@@ -541,8 +541,12 @@ class Model:
         return self.tokenizer.decode(out[len(ids):])
 
     # -- whisper ------------------------------------------------------------
-    def init_whisper(self, model_name_or_path_or_model):
-        """Load a Whisper checkpoint (HF dir or in-memory torch model)."""
+    def init_whisper(self, model_name_or_path_or_model, weight_dtype=None):
+        """Load a Whisper checkpoint (HF dir or in-memory torch model).
+
+        ``weight_dtype``: quantize the encoder/decoder linears ("int8",
+        "q4_0", a QuantConfig, ... — reference quant_whisper.cpp /
+        quant_utils.h:79 whisper_model_quantize); None keeps fp."""
         from .models import whisper as wh
         if isinstance(model_name_or_path_or_model, str):
             import transformers
@@ -555,7 +559,7 @@ class Model:
                 self.tokenizer = None
         else:
             model = model_name_or_path_or_model
-        self.params, self.cfg = wh.params_from_hf(model)
+        self.params, self.cfg = wh.params_from_hf(model, quant=weight_dtype)
         self._whisper = True
         return self
 

@@ -781,21 +781,41 @@ def transcribe_segments(params: Params, cfg: WhisperConfig, mel: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def params_from_hf(model, dtype=jnp.float32) -> Tuple[Params, WhisperConfig]:
+def params_from_hf(model, dtype=jnp.float32,
+                   quant=None) -> Tuple[Params, WhisperConfig]:
+    """torch WhisperForConditionalGeneration → (params, cfg).
+
+    ``quant`` (preset name / QuantConfig / None): quantize every
+    encoder/decoder attention + MLP linear to QTensors consumed by the
+    shared ``linear()`` — the analog of the reference's whisper
+    quantization (models/model_utils/quant_utils.h:79 whisper_model_quantize
+    driven by application/quant_whisper.cpp). Convs, embeddings, norms and
+    the tied lm_head stay fp, matching the reference's quantized-tensor
+    set (2-D linears only). Weights whose K doesn't divide the group size
+    (tiny test models) stay fp.
+    """
+    import numpy as _np
+    from ..convert.hf import _quantize_one, resolve_quant
+    qcfg = resolve_quant(quant)
     cfg = config_from_hf(model.config)
     sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
 
-    def g(name, transpose=False):
+    def g(name, transpose=False, q=False):
         w = sd[name]
-        return jnp.asarray(w.T if transpose else w, dtype)
+        w = w.T if transpose else w
+        if q and qcfg is not None and w.ndim == 2 and \
+                (qcfg.group_size == -1
+                 or w.shape[0] % qcfg.group_size == 0):
+            return _quantize_one(_np.asarray(w, _np.float32), qcfg)
+        return jnp.asarray(w, dtype)
 
     def attn_block(p, prefix, out):
-        out[f"{prefix}_wq"] = g(p + "q_proj.weight", True)
+        out[f"{prefix}_wq"] = g(p + "q_proj.weight", True, q=True)
         out[f"{prefix}_bq"] = g(p + "q_proj.bias")
-        out[f"{prefix}_wk"] = g(p + "k_proj.weight", True)
-        out[f"{prefix}_wv"] = g(p + "v_proj.weight", True)
+        out[f"{prefix}_wk"] = g(p + "k_proj.weight", True, q=True)
+        out[f"{prefix}_wv"] = g(p + "v_proj.weight", True, q=True)
         out[f"{prefix}_bv"] = g(p + "v_proj.bias")
-        out[f"{prefix}_wo"] = g(p + "out_proj.weight", True)
+        out[f"{prefix}_wo"] = g(p + "out_proj.weight", True, q=True)
         out[f"{prefix}_bo"] = g(p + "out_proj.bias")
 
     def enc_layer(i):
@@ -805,8 +825,10 @@ def params_from_hf(model, dtype=jnp.float32) -> Tuple[Params, WhisperConfig]:
             "ln1_b": g(p + "self_attn_layer_norm.bias"),
             "ln2_w": g(p + "final_layer_norm.weight"),
             "ln2_b": g(p + "final_layer_norm.bias"),
-            "fc1_w": g(p + "fc1.weight", True), "fc1_b": g(p + "fc1.bias"),
-            "fc2_w": g(p + "fc2.weight", True), "fc2_b": g(p + "fc2.bias"),
+            "fc1_w": g(p + "fc1.weight", True, q=True),
+            "fc1_b": g(p + "fc1.bias"),
+            "fc2_w": g(p + "fc2.weight", True, q=True),
+            "fc2_b": g(p + "fc2.bias"),
         }
         attn_block(p + "self_attn.", "attn", out)
         return out
@@ -820,8 +842,10 @@ def params_from_hf(model, dtype=jnp.float32) -> Tuple[Params, WhisperConfig]:
             "ln_cross_b": g(p + "encoder_attn_layer_norm.bias"),
             "ln2_w": g(p + "final_layer_norm.weight"),
             "ln2_b": g(p + "final_layer_norm.bias"),
-            "fc1_w": g(p + "fc1.weight", True), "fc1_b": g(p + "fc1.bias"),
-            "fc2_w": g(p + "fc2.weight", True), "fc2_b": g(p + "fc2.bias"),
+            "fc1_w": g(p + "fc1.weight", True, q=True),
+            "fc1_b": g(p + "fc1.bias"),
+            "fc2_w": g(p + "fc2.weight", True, q=True),
+            "fc2_b": g(p + "fc2.bias"),
         }
         attn_block(p + "self_attn.", "attn", out)
         attn_block(p + "encoder_attn.", "cross", out)

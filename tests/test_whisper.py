@@ -253,3 +253,44 @@ def test_token_timestamps_end_to_end(setup):
         assert len(times) == len(ids)
         for a, b in times:
             assert a <= b + 1e-6
+
+
+def test_quantized_whisper_matches_fp(setup):
+    """int8-quantized whisper (reference quant_whisper.cpp →
+    whisper_model_quantize, quant_utils.h:79): encoder states and decoder
+    logits stay within quantization tolerance of fp, and the stacked
+    QTensors really flow through the scanned graph."""
+    m, params_fp, cfg, mel = setup
+    from neural_tpu.core.qtensor import QTensor
+    params_q, cfg_q = params_from_hf(m, quant="int8")
+    assert cfg_q == cfg
+    assert isinstance(params_q["enc_layers"]["fc1_w"], QTensor)
+    assert isinstance(params_q["dec_layers"]["cross_wk"], QTensor)
+    assert params_q["enc_layers"]["attn_wq"].cfg.bits == 8
+    # convs / embeddings / norms stay fp (reference quantizes 2-D linears)
+    assert not isinstance(params_q["conv1_w"], QTensor)
+    assert not isinstance(params_q["dec_embed"], QTensor)
+
+    x = jnp.asarray(mel[None])
+    e_fp = np.asarray(encode(params_fp, x, cfg))
+    e_q = np.asarray(encode(params_q, x, cfg))
+    np.testing.assert_allclose(e_q, e_fp, atol=0.08, rtol=0.05)
+
+    state_fp = init_decoder_state(params_fp, jnp.asarray(e_fp), cfg)
+    state_q = init_decoder_state(params_q, jnp.asarray(e_fp), cfg)
+    toks = jnp.asarray([[4, 7, 9]], jnp.int32)
+    start = jnp.zeros((1,), jnp.int32)
+    l_fp, _ = decode_step(params_fp, toks, start, state_fp, cfg)
+    l_q, _ = decode_step(params_q, toks, start, state_q, cfg)
+    np.testing.assert_allclose(np.asarray(l_q), np.asarray(l_fp),
+                               atol=0.15, rtol=0.05)
+
+    out = transcribe_ids(params_q, cfg, mel, [4], max_new_tokens=6)
+    assert len(out) >= 1 and all(isinstance(t, int) for t in out)
+
+
+def test_quantized_whisper_int4_runs(setup):
+    m, _, cfg, mel = setup
+    params_q, _ = params_from_hf(m, quant="q4_0")
+    out = transcribe_ids(params_q, cfg, mel, [4], max_new_tokens=4)
+    assert len(out) >= 1
