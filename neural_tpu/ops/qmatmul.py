@@ -673,10 +673,15 @@ def _pick_decode_tiles(M, K, N, g, code_bits=4, npack=False):
     caps at 16: beyond that the f32 MXU dot stops hiding under the HBM
     stream. (native-pack tn sweep on the 7B attn squares: tn=1024 gave
     6.21 ms/tok vs 6.16 at 2048 — the uniform cap stands.)
+
+    Cap 6 MB (double-buffered 12 MB of ~16 MB VMEM): the round-4 sweep
+    measured the 7B w_down shape (K=11264, N=4096) at 820 GB/s with
+    tn=1024 (5.8 MB blocks) vs 784 GB/s at the old 4 MB cap's tn=512,
+    and int8 w_down picks 512 instead of 256 (scripts/exp_dec4b.py).
     """
     if M > 16 or K % 32 or K % g:
         return None
-    cap = (4 << 20) * 8 // (K * code_bits)
+    cap = (6 << 20) * 8 // (K * code_bits)
     for tn in (2048, 1024, 640, 512, 384, 256, 128):
         if tn <= cap and N % tn == 0:
             return _round_up(max(M, 8), 8), tn

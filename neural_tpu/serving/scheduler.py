@@ -759,14 +759,22 @@ class Scheduler:
             0, self.steps_decoding_for_next_prefill - (k - 1))
 
     def _decode_step(self):
-        if self.decode_block > 1 and self.kv_mode == "slots" \
-                and not self.streaming and self._prefilling is None \
+        if self.decode_block > 1 and not self.streaming \
+                and self._prefilling is None \
                 and not (self.waiting and self._can_admit(self.waiting[0])
                          and self.steps_decoding_for_next_prefill == 0) \
                 and not any(q.num_beams > 1 for q in self.running.values()):
+            # paged mode is block-safe: pages are reserved for
+            # prompt+max_new at admission and positions past a slot's
+            # reservation hit the trash page, so the k on-device steps
+            # can't touch another sequence's pages
             sps = {q.sampling or self.sampling
                    for q in self.running.values()}
             if len(sps) == 1:
+                if self.kv_mode == "paged" and self._table_dirty:
+                    self.cache = PagedKVCache(*self.cache[:4],
+                                              jnp.asarray(self.table_np))
+                    self._table_dirty = False
                 return self._decode_block_step(next(iter(sps)),
                                                self.decode_block)
         if self.kv_mode == "paged" and self._table_dirty:

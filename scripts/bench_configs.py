@@ -145,30 +145,50 @@ def cfg5_alibi_sliding():
 
 
 def cfg3_server():
-    """Llama-2-7B int8 weights, continuous-batching server throughput."""
+    """Llama-2-7B int8 weights, continuous-batching server throughput.
+
+    Three schedulers over the same weights: per-token host stepping
+    (decode_block=1 — the tunneled runtime pays ~30 ms of dispatch RTT
+    per decode iteration, so this is the known-slow path), decode_block=8
+    (8 on-device steps per host round trip — reference analog: the
+    decode-only phases of scheduler.cpp:355), and decode_block=8 over the
+    paged KV pool. The committed serving capability is the blk8 number.
+    """
+    import jax.numpy as jnp
+    from neural_tpu.runtime.residency import ensure_decode_residency
     from neural_tpu.serving.scheduler import Scheduler
     qcfg = QuantConfig(bits=8, group_size=32, sym=True)
     params = rand_params(LLAMA2_7B, qcfg)
+    # residency once up front (native-at-rest at this serving shape);
+    # the schedulers then share the converted tree untouched
+    params = ensure_decode_residency(params, LLAMA2_7B, 8, 512,
+                                     jnp.bfloat16)
     rng = np.random.default_rng(0)
     n_req, plen, new = 12, 128, 64
-    sched = Scheduler(params, LLAMA2_7B, max_batch=8, max_len=512)
-    for i in range(n_req):
-        sched.add_request(f"q{i}", rng.integers(0, 32000, plen).tolist(),
-                          max_new_tokens=new)
-    # warm the compile caches with one tiny pass? no — count wall incl.
-    # first compiles separately: run once to compile, then re-enqueue
-    sched.run_to_completion()
-    for i in range(n_req):
-        sched.add_request(f"w{i}", rng.integers(0, 32000, plen).tolist(),
-                          max_new_tokens=new)
-    t0 = time.time()
-    sched.run_to_completion()
-    wall = time.time() - t0
-    toks = n_req * new
-    return {"config": "llama7b_int8_cont_batching_server",
-            "requests": n_req, "new_tokens": toks,
-            "wall_s": round(wall, 2),
-            "agg_tokens_per_sec": round(toks / wall, 1)}
+    out = {"config": "llama7b_int8_cont_batching_server",
+           "requests": n_req, "new_tokens": n_req * new}
+    for tag, kw in [("", {}),
+                    ("blk8_", {"decode_block": 8}),
+                    ("blk8_paged_", {"decode_block": 8,
+                                     "kv_mode": "paged",
+                                     "page_size": 64})]:
+        sched = Scheduler(params, LLAMA2_7B, max_batch=8, max_len=512, **kw)
+        for i in range(n_req):
+            sched.add_request(f"q{i}",
+                              rng.integers(0, 32000, plen).tolist(),
+                              max_new_tokens=new)
+        sched.run_to_completion()   # compile pass
+        for i in range(n_req):
+            sched.add_request(f"w{i}",
+                              rng.integers(0, 32000, plen).tolist(),
+                              max_new_tokens=new)
+        t0 = time.time()
+        sched.run_to_completion()
+        wall = time.time() - t0
+        out[tag + "wall_s"] = round(wall, 2)
+        out[tag + "agg_tokens_per_sec"] = round(n_req * new / wall, 1)
+        del sched
+    return out
 
 
 def cfg4_qwen_oddbit():

@@ -28,7 +28,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neural_tpu.core import PRESETS, quantize
 
-M, K, N = 8, 4096, 4096
+M = 8
+K = int(os.environ.get("K", "4096"))
+N = int(os.environ.get("N", "4096"))
 TM = int(os.environ.get("TM", "8"))
 TN = int(os.environ.get("TN", "2048"))
 G = 32
@@ -127,7 +129,8 @@ def run_variant(x, codes_u8, scales, mode, tn, iters):
 
     def body(i, x):
         out = one(x)
-        return x + out[:, :K].astype(x.dtype) * jnp.bfloat16(1e-8)
+        c = min(K, N)
+        return x.at[:, :c].add(out[:, :c].astype(x.dtype) * jnp.bfloat16(1e-8))
 
     x = jax.lax.fori_loop(0, iters, body, x)
     return jnp.float32(x[0, 0])

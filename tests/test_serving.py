@@ -431,3 +431,28 @@ def test_scheduler_beam_paged_matches_standalone(model):
     assert done["greedy"].output_ids == ref_g
     # all pages returned after completion
     assert sched.allocator.n_free == sched.cache.n_pages - 1
+
+
+def test_decode_block_paged_matches_single_step(model):
+    """decode_block over the PAGED pool: identical greedy outputs to
+    per-token stepping (pages reserved at admission; past-reservation
+    block writes land in the trash page)."""
+    params, cfg = model
+    import dataclasses
+    cfg_eos = dataclasses.replace(cfg, eos_token_id=7)
+    rng = np.random.default_rng(13)
+    prompts = [list(rng.integers(1, 128, int(n)))
+               for n in rng.integers(3, 20, 5)]
+
+    def run(block):
+        sched = Scheduler(params, cfg_eos, max_batch=3, max_len=64,
+                          prefill_buckets=(32,), decode_block=block,
+                          kv_mode="paged", page_size=16,
+                          sampling=SamplingParams(greedy=True,
+                                                  repeat_penalty=1.0))
+        for i, p in enumerate(prompts):
+            sched.add_request(f"q{i}", p, max_new_tokens=9)
+        return {s.request_id: s.output_ids
+                for s in sched.run_to_completion()}
+
+    assert run(1) == run(4)
