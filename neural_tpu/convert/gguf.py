@@ -323,8 +323,10 @@ class GGUFReader:
 
 
 # ---------------------------------------------------------------------------
-# Writer (F32/F16/Q4_0/Q4_K/Q6_K — the reference converter's main outputs
-# plus the dominant llama.cpp-ecosystem K-quant export types)
+# Writer (F32/F16/BF16 + ALL legacy ggml quant formats Q4_0/Q4_1/Q5_0/
+# Q5_1/Q8_0 — the full set the reference's model_quantize emits,
+# quant_utils.cpp:357 ggml_quantize — plus the dominant llama.cpp
+# K-quant export types Q4_K/Q6_K)
 # ---------------------------------------------------------------------------
 
 
@@ -340,6 +342,58 @@ def _pack_q4_0(w: np.ndarray) -> bytes:
     packed = (lo | (hi << 4)).astype(np.uint8)
     d16 = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
     return np.concatenate([d16, packed], axis=1).tobytes()
+
+
+def _f16col(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float16).reshape(-1, 1).view(np.uint8)
+
+
+def _pack_q4_1(w: np.ndarray) -> bytes:
+    """f32 → ggml Q4_1 (asym per 32-block: w = q*d + m)."""
+    flat = w.reshape(-1, QK).astype(np.float32)
+    mn = flat.min(axis=1)
+    mx = flat.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(np.round((flat - mn[:, None]) * inv[:, None]), 0, 15) \
+        .astype(np.uint8)
+    packed = (q[:, :16] | (q[:, 16:] << 4)).astype(np.uint8)
+    return np.concatenate([_f16col(d), _f16col(mn), packed],
+                          axis=1).tobytes()
+
+
+def _pack_q5_01(w: np.ndarray, asym: bool) -> bytes:
+    """f32 → ggml Q5_0 (sym, d = signed-max/-16) or Q5_1 (asym)."""
+    flat = w.reshape(-1, QK).astype(np.float32)
+    if asym:
+        mn = flat.min(axis=1)
+        d = (flat.max(axis=1) - mn) / 31.0
+        inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+        q = np.clip(np.round((flat - mn[:, None]) * inv[:, None]),
+                    0, 31).astype(np.uint32)
+    else:
+        idx = np.argmax(np.abs(flat), axis=1)
+        d = flat[np.arange(len(flat)), idx] / -16.0
+        inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+        q = np.clip(np.round(flat * inv[:, None]) + 16, 0, 31) \
+            .astype(np.uint32)
+    qh = np.zeros(len(flat), np.uint32)
+    for l in range(QK):                      # bit l = element l's 5th bit
+        qh |= ((q[:, l] >> 4) & 1) << l
+    lo = (q & 0xF).astype(np.uint8)
+    packed = (lo[:, :16] | (lo[:, 16:] << 4)).astype(np.uint8)
+    head = [_f16col(d)] + ([_f16col(mn)] if asym else [])
+    return np.concatenate(head + [qh.view(np.uint8).reshape(-1, 4), packed],
+                          axis=1).tobytes()
+
+
+def _pack_q8_0(w: np.ndarray) -> bytes:
+    """f32 → ggml Q8_0 (sym int8 per 32-block)."""
+    flat = w.reshape(-1, QK).astype(np.float32)
+    d = np.abs(flat).max(axis=1) / 127.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(np.round(flat * inv[:, None]), -127, 127).astype(np.int8)
+    return np.concatenate([_f16col(d), q.view(np.uint8)], axis=1).tobytes()
 
 
 def _pack_q6_k(w: np.ndarray) -> bytes:
@@ -426,8 +480,19 @@ class GGUFWriter:
             data = w.astype(np.float32).tobytes()
         elif ggml_type == GGML_F16:
             data = w.astype(np.float16).tobytes()
+        elif ggml_type == GGML_BF16:
+            import ml_dtypes
+            data = w.astype(ml_dtypes.bfloat16).tobytes()
         elif ggml_type == GGML_Q4_0:
             data = _pack_q4_0(w)
+        elif ggml_type == GGML_Q4_1:
+            data = _pack_q4_1(w)
+        elif ggml_type == GGML_Q5_0:
+            data = _pack_q5_01(w, asym=False)
+        elif ggml_type == GGML_Q5_1:
+            data = _pack_q5_01(w, asym=True)
+        elif ggml_type == GGML_Q8_0:
+            data = _pack_q8_0(w)
         elif ggml_type == GGML_Q4_K:
             data = _pack_q4_k(w)
         elif ggml_type == GGML_Q6_K:

@@ -145,7 +145,10 @@ def main():
                     ok = False
         if not ok:
             sys.exit(1)
-        print("# gate OK", file=sys.stderr)
+        print("# gate OK (p50/p90 gated; p99 NOT gated — on the tunneled "
+              "runtime it is owned by sporadic multi-second allocator/"
+              "compile stalls unrelated to scheduler behavior, see "
+              "baselines/serving_tpu.json note)", file=sys.stderr)
 
 
 if __name__ == "__main__":

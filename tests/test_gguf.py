@@ -8,7 +8,8 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 from neural_tpu.convert.gguf import (
-    GGUFReader, GGUFWriter, GGML_F32, GGML_F16, GGML_Q4_0, _pack_q4_0, QK)
+    GGUFReader, GGUFWriter, GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1,
+    GGML_Q5_0, GGML_Q5_1, GGML_Q8_0, _pack_q4_0, QK)
 from neural_tpu.convert.gguf_models import load_gguf, export_gguf
 from neural_tpu.convert import from_hf_model
 from neural_tpu.core.qtensor import dequantize
@@ -333,3 +334,55 @@ def test_export_load_q6_k_end_to_end(tmp_path):
     cos = np.sum(ours * ref, -1) / (
         np.linalg.norm(ours, axis=-1) * np.linalg.norm(ref, axis=-1))
     assert np.all(cos > 0.99), cos
+
+
+@pytest.mark.parametrize("tt", [GGML_Q4_1, GGML_Q5_0, GGML_Q5_1, GGML_Q8_0])
+def test_legacy_write_read_roundtrip(tt, tmp_path):
+    """Round-4 writer breadth: ALL legacy ggml formats the reference's
+    model_quantize emits (quant_utils.cpp:357 ggml_quantize) write and
+    read back within one quantization step per 32-block."""
+    from neural_tpu.convert.gguf import GGML_Q4_1, GGML_Q5_0, GGML_Q5_1, \
+        GGML_Q8_0
+    rng = np.random.default_rng(tt)
+    a = rng.standard_normal((8, 256)).astype(np.float32) * 0.05
+    p = str(tmp_path / "w.gguf")
+    w = GGUFWriter(p)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor("t", a, tt)
+    w.write()
+    r = GGUFReader(p)
+    got = r.dequantize("t")
+    blocks = a.reshape(-1, 32)
+    if tt in (GGML_Q4_1, GGML_Q5_1):   # asym: step = range/levels
+        steps = (blocks.max(1) - blocks.min(1)) / (
+            15 if tt == GGML_Q4_1 else 31)
+    elif tt == GGML_Q5_0:
+        steps = np.abs(blocks).max(1) / 16
+    else:
+        steps = np.abs(blocks).max(1) / 127
+    err = np.abs(got - a).reshape(-1, 32)
+    # one step + fp16 scale rounding slack; sym types clip the element
+    # opposite the signed max by up to a full step (ggml convention)
+    assert np.all(err <= steps[:, None] * 1.05 + 2e-4), err.max()
+    r.close()
+
+
+def test_legacy_write_qtensor_load(tmp_path):
+    """Written legacy blocks load back as QTensors whose dequant matches
+    the reader's scalar dequant exactly (lossless repack both ways)."""
+    from neural_tpu.convert.gguf import GGML_Q5_1
+    from neural_tpu.convert.gguf_models import _qtensor_from_gguf
+    from neural_tpu.core.qtensor import dequantize
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    p = str(tmp_path / "w.gguf")
+    w = GGUFWriter(p)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor("t", a, GGML_Q5_1)
+    w.write()
+    r = GGUFReader(p)
+    ref = r.dequantize("t").reshape(64, 32)
+    qt = _qtensor_from_gguf(r, "t")
+    got = np.asarray(dequantize(qt))
+    np.testing.assert_allclose(got, ref.T, rtol=1e-5, atol=1e-6)
+    r.close()
