@@ -526,7 +526,7 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
 
 
 def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
-                 stacked: bool, npack: bool = False):
+                 stacked: bool, npack: bool = False, m1: bool = False):
     """Native-int4 decode kernel: one full-K stripe per grid step.
 
     Measured on v5e (K=N=4096, q4_0): the hardware int4→f32 convert plus an
@@ -565,6 +565,42 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
     K = wu.shape[0] * (2 if npack else 1)
     G = s.shape[0]
     xf = x_ref[...].astype(jnp.float32)
+    TMk = xf.shape[0]
+    if m1 and K % (8 * group_size) == 0:
+        # M=1 (single-stream decode): pack 8 GROUPS into the 8 sublanes.
+        # Rows of x8 hold x (row 0) masked to the 8 group windows of a
+        # 8g-row chunk, so P8 = x8 @ Wchunk yields the 8 group partials
+        # as ROWS and the per-group scale costs one [8, tn] FMA per
+        # EIGHT groups — 8x less VPU than scaling an [8, tn] partial per
+        # group — while the dots run 8g deep (MXU-efficient). Measured
+        # (v5e, K=N=4096 g=32 q4_0): 1017 GB/s effective weight stream
+        # vs 828 for the grouped-partial path, 1157 unscaled ceiling
+        # (scripts/exp_dec4b.py win8). Output rows are 8 broadcast
+        # copies of the single real row; callers slice [:M].
+        cw = 8 * group_size
+        C = K // cw
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1)
+                   // group_size
+                   == jax.lax.broadcasted_iota(jnp.int32, (8, cw), 0))
+        x0 = xf[0:1, :]
+        accs = [jnp.zeros((8, tn), jnp.float32) for _ in range(2)]
+        for c in range(C):
+            xc = jnp.broadcast_to(x0[:, cw * c:cw * (c + 1)], (8, cw))
+            x8 = jnp.where(rowmask, xc, 0.0)
+            P8 = jnp.dot(x8, w[cw * c:cw * (c + 1), :],
+                         preferred_element_type=jnp.float32)
+            accs[c % 2] = accs[c % 2] + P8 * s[8 * c:8 * (c + 1), :]
+        total = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
+        if has_zeros:
+            z = tile(z_ref)
+            if z.dtype == jnp.uint8:
+                zf = z.astype(jnp.int32).astype(jnp.float32)
+            else:
+                zf = z.astype(jnp.float32)
+            total = total - jnp.dot(xs_ref[...][0:1, :], zf * s,
+                                    preferred_element_type=jnp.float32)
+        out_ref[...] = jnp.broadcast_to(total, (TMk, tn)).astype(out_dtype)
+        return
     if G <= 256:
         # grouped-partial scaling: dot each group UNSCALED and apply the
         # per-group scale to the [tm, tn] partial — tm/g of the VPU
@@ -602,8 +638,9 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tm", "tn", "out_dtype", "interpret"))
-def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
+    jax.jit, static_argnames=("tm", "tn", "out_dtype", "interpret", "m1"))
+def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
+                     m1: bool = False):
     """Native-int4 fused matmul for small M (decode). x: [M, K] with M % tm
     == 0. Stacked mode streams layer ``lidx`` from [L, ...] HBM stacks."""
     M, K = x.shape
@@ -640,7 +677,7 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None):
 
     kernel = functools.partial(
         _qmm4_kernel, group_size=g, has_zeros=has_zeros,
-        out_dtype=out_dtype, stacked=stacked, npack=npack)
+        out_dtype=out_dtype, stacked=stacked, npack=npack, m1=m1)
     bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
                       + M * N * np.dtype(out_dtype).itemsize)
     common = dict(
@@ -850,7 +887,7 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
             xp, Mp = pad_gather(x2, tm)
             out = _qmatmul4_pallas(xp.astype(jnp.bfloat16), qt, tm, tn,
                                    out_dtype=out_dtype, interpret=interpret,
-                                   lidx=lidx)
+                                   lidx=lidx, m1=(M == 1))
             if Mp != M:
                 out = out[:M]
             return out.reshape(*lead, qt.N)

@@ -80,6 +80,34 @@ def mk_kernel(mode, tn, g=G):
             out_ref[...] = jnp.sum(part * st[:, None, :], axis=0
                                    ).astype(out_ref.dtype)
             return
+        if mode.startswith("win8"):
+            # M=1 specialization: pack 8 GROUPS into the 8 sublanes.
+            # x8[r, :] = x row 0 masked to window r of a 256-row chunk;
+            # P8 = x8 @ Wchunk gives the 8 group partials as ROWS, so the
+            # per-group scale costs one [8, tn] FMA per EIGHT groups
+            # (8x less VPU than scaling [8, tn] per group) and the dots
+            # are 256 deep (MXU-efficient).
+            bf = mode.endswith("bf16")
+            dt_ = jnp.bfloat16 if bf else jnp.float32
+            wf = w_ref[...].astype(dt_)
+            st = s_ref[...].astype(jnp.float32)
+            x0 = x_ref[0:1, :].astype(dt_)
+            C = K // 256
+            rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, 256), 1)
+                       // g == jax.lax.broadcasted_iota(
+                           jnp.int32, (8, 256), 0))
+            accs = [jnp.zeros((8, tn), jnp.float32) for _ in range(2)]
+            for c in range(C):
+                xc = jnp.broadcast_to(x0[:, 256 * c:256 * (c + 1)],
+                                      (8, 256))
+                x8 = jnp.where(rowmask, xc, dt_(0))
+                P8 = jnp.dot(x8, wf[256 * c:256 * (c + 1), :],
+                             preferred_element_type=jnp.float32)
+                accs[c % 2] = accs[c % 2] + P8 * st[8 * c:8 * (c + 1), :]
+            total = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
+            out_ref[...] = jnp.broadcast_to(total, (TM, tn)).astype(
+                out_ref.dtype)
+            return
         # unroll1 family
         bf = mode.endswith("bf16")
         nacc = 4 if mode == "unroll1_n4" else 2

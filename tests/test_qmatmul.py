@@ -478,3 +478,32 @@ def test_params_to_native_end_to_end():
     out_i8 = batched_generate(nat, cfg, rows, sp, max_new_tokens=4,
                               stop_at_eos=False, kv_dtype="int8")
     assert [len(o) for o in out_i8] == [len(r) + 4 for r in rows]
+
+
+def test_decode_m1_win8_matches_oracle():
+    """The M=1 windowed-sublane-groups decode path (8 groups per 8
+    sublanes, scripts/exp_dec4b.py win8 — 1017 vs 828 GB/s on v5e) must
+    match the oracle for sym, asym (rank-G zp compensation) and
+    native-pack storage."""
+    import jax
+    from neural_tpu.core import QuantConfig, quantize
+    from neural_tpu.core.qtensor import matmul_ref, to_native, \
+        to_native_packed
+    rng = np.random.default_rng(21)
+    K, N = 512, 256
+    x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
+    for cfgq, conv in [
+            (QuantConfig(bits=4, group_size=32, sym=True), to_native),
+            (QuantConfig(bits=4, group_size=32, sym=False), to_native),
+            (QuantConfig(bits=4, group_size=32, sym=True),
+             to_native_packed),
+            (QuantConfig(bits=8, group_size=64, sym=True), to_native),
+            (QuantConfig(bits=3, group_size=32, sym=False), to_native)]:
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+        qt = conv(quantize(jnp.asarray(w), cfgq))
+        ref = matmul_ref(x, qt, jnp.float32)
+        out = qmatmul(x, qt, out_dtype=jnp.float32, force="pallas",
+                      interpret=True)
+        assert out.shape == (1, N)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2), (cfgq, conv)
