@@ -599,7 +599,10 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
                 zf = z.astype(jnp.float32)
             total = total - jnp.dot(xs_ref[...][0:1, :], zf * s,
                                     preferred_element_type=jnp.float32)
-        out_ref[...] = jnp.broadcast_to(total, (TMk, tn)).astype(out_dtype)
+        # out_ref is a TRUE [1, tn] block: no row padding to slice away
+        # afterwards (the [8, N] -> [1, N] slices showed up as ~1 ms/tok
+        # of standalone DMA ops on a 7B decode step)
+        out_ref[...] = total.astype(out_dtype)
         return
     if G <= 256:
         # grouped-partial scaling: dot each group UNSCALED and apply the
@@ -675,29 +678,42 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
         in_specs.append(pl.BlockSpec((tm, G), xmap))
         operands.append(xs)
 
+    m1 = m1 and K % (8 * g) == 0
+    Mout = 1 if m1 else M
+    out_tm = 1 if m1 else tm
     kernel = functools.partial(
         _qmm4_kernel, group_size=g, has_zeros=has_zeros,
         out_dtype=out_dtype, stacked=stacked, npack=npack, m1=m1)
     bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
-                      + M * N * np.dtype(out_dtype).itemsize)
+                      + Mout * N * np.dtype(out_dtype).itemsize)
+    # Roofline note (round-4 measured): with the m1 kernel the 7B decode
+    # step is HBM-BOUND END-TO-END — per-step traffic (3.37 GB int4
+    # codes + 0.42 GB bf16 scales + KV) over the 819 GB/s roofline
+    # accounts for the measured 5.28 ms/tok to within ~2%. XLA reacts to
+    # the freed kernel time by staging some weight operands into VMEM
+    # via async slices (memory-space assignment); wall time is unchanged
+    # because the bottleneck is total HBM bytes, not any kernel. Do NOT
+    # chase those slices (tried: internal_scratch claims, disabling the
+    # memory-bound loop optimizer via compiler options — both neutral).
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Mout, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K, bytes_accessed=bytes_accessed,
+            flops=2 * Mout * N * K, bytes_accessed=bytes_accessed,
             transcendentals=0),
         interpret=interpret,
     )
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=pl.BlockSpec((tm, tn), lambda i, j, l_ref: (i, j)))
+            out_specs=pl.BlockSpec((out_tm, tn),
+                                   lambda i, j, l_ref: (i, j)))
         return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
             jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((out_tm, tn), lambda i, j: (i, j)),
         **common)(*operands)
 
 
