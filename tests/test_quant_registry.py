@@ -103,3 +103,21 @@ def test_registry_quality_ordering():
         e[name] = float(np.abs(
             np.asarray(dequantize(quantize(jnp.asarray(w), qc))) - w).mean())
     assert e["int4"] < e["int2"]
+
+
+def test_hetero_registry_checkpoint_roundtrip(tmp_path):
+    """Mixed-bit tuple-layout params survive the NTPU checkpoint."""
+    from neural_tpu.convert.checkpoint import load_checkpoint, \
+        save_checkpoint
+    reg = QuantRegistry(rules=[("layers.0.w_up", "int8")], default="q4_0")
+    params = init_random(CFG, quant=reg, dtype=jnp.float32)
+    ref = greedy_generate(params, CFG, [3, 5, 7], max_new_tokens=4,
+                          stop_at_eos=False)
+    p = str(tmp_path / "m.ntpu")
+    save_checkpoint(p, params, CFG)
+    params2, cfg2, _ = load_checkpoint(p)
+    assert cfg2 == CFG and isinstance(params2["layers"], tuple)
+    assert params2["layers"][0]["w_up"].cfg.bits == 8
+    out = greedy_generate(params2, CFG, [3, 5, 7], max_new_tokens=4,
+                          stop_at_eos=False)
+    assert out == ref
