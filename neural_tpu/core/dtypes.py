@@ -123,6 +123,10 @@ class QuantConfig:
 # (tests/model-test/cpp_graph_inference.sh:30 q4_j_i8_g128 / q4_j_i8_g32 / q4_0).
 PRESETS = {
     "q4_0": QuantConfig(bits=4, group_size=32, sym=True),
+    # the reference's headline CI precision (cpp_graph_inference.sh:427
+    # "--weight_dtype int4 --group_size 128 --alg sym"): int4 g128 sym —
+    # 4x fewer scale bytes than q4_0, the decode roofline config
+    "q4_j": QuantConfig(bits=4, group_size=128, sym=True),
     "q4_1": QuantConfig(bits=4, group_size=32, sym=False),
     "q4_j_g32": QuantConfig(bits=4, group_size=32, sym=False),
     "q4_j_g128": QuantConfig(bits=4, group_size=128, sym=False),

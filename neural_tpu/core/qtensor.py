@@ -197,6 +197,14 @@ def quantize(w: jnp.ndarray, cfg: QuantConfig) -> QTensor:
     w = jnp.asarray(w, jnp.float32)
     K, N = w.shape
     g = K if cfg.group_size == -1 else cfg.group_size
+    if g > K:
+        # per-tensor clamp: a g128 preset applied to a small projection
+        # (e.g. hidden 64 in a test model) degrades to one group over K —
+        # the QTensor's cfg records the ACTUAL group so downstream layout
+        # math (pack chunks, kernel group windows) stays consistent
+        import dataclasses as _dc
+        g = K
+        cfg = _dc.replace(cfg, group_size=K)
     wg = _group(w, g)  # [G, g, N]
     eps = 1e-9
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.qtensor import QTensor
-from ..ops.qmatmul import qmatmul
+from ..ops.qmatmul import qmatmul, qmatmul_fused
 from ..ops.norms import rms_norm, layer_norm
 from ..ops.rope import rope_freqs, rope_cos_sin, apply_rope, alibi_slopes
 from ..ops.attention import attend, quantize_kv
@@ -59,6 +59,62 @@ def _norm(x, w, b, cfg: ModelConfig):
     return layer_norm(x, w, b, cfg.norm_eps)
 
 
+def _fuse_mode() -> str:
+    """NTPU_FUSED_DECODE: "0" (default) / "1" (TPU) / "interpret" (CPU
+    tests run the fused Pallas kernels in interpreter mode).
+
+    Default OFF — measured NEGATIVE on the 7B decode step (v5e, round 4):
+    device-time A/B gave 4.96 ms/tok unfused vs 5.07 fused at q4_j
+    (g128) and 5.289 vs 5.295 at q4_0. The removed XLA fusions cost only
+    ~1.2 us each (~0.07 ms/tok total), while feeding the MXU a COMPUTED
+    x (norm output) instead of a direct ref read makes the 225 Pallas
+    kernels ~0.8 us/call slower (+0.19 ms/tok). Kept as an opt-in lab
+    path; revisit if Mosaic learns to keep computed operands in place."""
+    import os
+    return os.environ.get("NTPU_FUSED_DECODE", "0")
+
+
+def _fuse_interpret() -> bool:
+    return _fuse_mode() == "interpret"
+
+
+def _can_fuse_block(x, cfg: ModelConfig, tp_axis) -> bool:
+    """Decode-step elementwise fusion eligibility (see qmatmul_fused).
+
+    The fused path folds pre-norms, the gated activation and the residual
+    adds into the weight-streaming kernels — the decode step's XLA op
+    count drops from ~39/layer to ~15/layer (measured round 4: each
+    standalone fusion costs ~8 us of launch overhead against a 5 ms
+    step). Only the plain serial-residual RMS-norm shape qualifies;
+    everything else keeps the general graph. TP is excluded because the
+    residual must be added AFTER the psum."""
+    mode = _fuse_mode()
+    if mode == "0":
+        return False
+    if not (jax.default_backend() == "tpu" or mode == "interpret"):
+        return False
+    B, T, _ = x.shape
+    if B * T > 16 or tp_axis is not None:
+        return False
+    return (cfg.norm_type == "rmsnorm" and not cfg.parallel_residual
+            and cfg.residual_alpha == 1.0 and not cfg.post_attn_norm
+            and not cfg.post_ffn_norm)
+
+
+def _lin_norm(x, w, b, norm_w, cfg: ModelConfig, lidx):
+    """linear(rmsnorm(x)) with the norm fused into the kernel prologue when
+    the shape/config allows; exact fallback otherwise (the duplicate
+    rms_norm across q/k/v falls out via CSE under jit)."""
+    B, T, D = x.shape
+    if isinstance(w, QTensor) and b is None:
+        y = qmatmul_fused(x.reshape(-1, D), w, out_dtype=x.dtype, lidx=lidx,
+                          norm=(norm_w, cfg.norm_eps, cfg.norm_offset),
+                          interpret=_fuse_interpret())
+        if y is not None:
+            return y.reshape(B, T, -1)
+    return linear(_norm(x, norm_w, None, cfg), w, b, lidx=lidx)
+
+
 def _act(x, kind: str):
     if kind == "silu":
         return jax.nn.silu(x)
@@ -76,32 +132,96 @@ def _psum(x, tp_axis):
 
 
 def _mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None, lidx=None,
-         ep_axis=None):
+         ep_axis=None, pre_norm=None, res=None):
     """Under shard_map TP, w_gate/w_up are column-split (local output slice)
     and w_down is row-split → the down-proj result is a partial sum, reduced
     here with one psum (the reference's post-FFN ne_all_reduce,
-    llama.cpp:693)."""
+    llama.cpp:693).
+
+    Decode-fusion mode (_can_fuse_block): ``x`` is the RAW residual stream
+    and ``pre_norm`` the ffn-norm weight (fused into the gate/up kernels);
+    ``res`` makes the return value INCLUDE the residual, and the gated
+    activation act(g)*u rides the w_down kernel's prologue.
+    """
+    if pre_norm is not None and cfg.is_moe:
+        # MoE routing consumes the normed stream directly; norm outside
+        x = _norm(x, pre_norm, None, cfg)
+        pre_norm = None
     if cfg.is_moe:
         if ep_axis is not None:
             from ..parallel.ep import ep_moe
-            return ep_moe(x, lp, cfg, ep_axis, tp_axis=tp_axis)
-        return _moe_mlp(x, lp, cfg, tp_axis)
+            down = ep_moe(x, lp, cfg, ep_axis, tp_axis=tp_axis)
+        else:
+            down = _moe_mlp(x, lp, cfg, tp_axis)
+        return down if res is None else res + down
+    gu_pair = None
     if cfg.mlp_gated:
         if "w_gateup" in lp:  # fused gate|up GEMM (fuse_layer_weights)
-            gu = linear(x, lp["w_gateup"], lp.get("b_gateup"), lidx=lidx)
+            if pre_norm is not None:
+                gu = _lin_norm(x, lp["w_gateup"], lp.get("b_gateup"),
+                               pre_norm, cfg, lidx)
+            else:
+                gu = linear(x, lp["w_gateup"], lp.get("b_gateup"), lidx=lidx)
             ng = lp["w_gateup"].N // 2
-            h = _act(gu[..., :ng], cfg.act) * gu[..., ng:]
+            gu_pair = (gu[..., :ng], gu[..., ng:])
         else:
-            g = linear(x, lp["w_gate"], lp.get("b_gate"), lidx=lidx)
-            u = linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx)
-            h = _act(g, cfg.act) * u
+            if pre_norm is not None:
+                g = _lin_norm(x, lp["w_gate"], lp.get("b_gate"), pre_norm,
+                              cfg, lidx)
+                u = _lin_norm(x, lp["w_up"], lp.get("b_up"), pre_norm,
+                              cfg, lidx)
+            else:
+                g = linear(x, lp["w_gate"], lp.get("b_gate"), lidx=lidx)
+                u = linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx)
+            gu_pair = (g, u)
     else:
-        h = _act(linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx), cfg.act)
+        if pre_norm is not None:
+            h = _act(_lin_norm(x, lp["w_up"], lp.get("b_up"), pre_norm,
+                               cfg, lidx), cfg.act)
+        else:
+            h = _act(linear(x, lp["w_up"], lp.get("b_up"), lidx=lidx),
+                     cfg.act)
+    # down projection: fold the residual into the kernel epilogue. The
+    # gated activation STAYS an XLA op by default: in-kernel silu on the
+    # [tm, I] stripe measured +0.2 ms/tok on a 7B decode (exp per N-tile)
+    # while the XLA fusion it replaces costs ~1.2 us — the scratch-
+    # persisted variant (NTPU_FUSE_GLU=1) recovers most but not all of it.
+    import os as _os
+    fuse_ok = (res is not None and tp_axis is None
+               and lp.get("b_down") is None
+               and isinstance(lp["w_down"], QTensor)
+               and cfg.act in ("silu", "gelu_tanh", "relu"))
+    if gu_pair is not None:
+        g, u = gu_pair
+        B, T, I = g.shape
+        if fuse_ok and _os.environ.get("NTPU_FUSE_GLU") == "1":
+            y = qmatmul_fused((g.reshape(B * T, I), u.reshape(B * T, I)),
+                              lp["w_down"], out_dtype=x.dtype, lidx=lidx,
+                              glu=cfg.act, res=res.reshape(B * T, -1),
+                              interpret=_fuse_interpret())
+            if y is not None:
+                return y.reshape(B, T, -1)
+        h = _act(g, cfg.act) * u
+        if fuse_ok:
+            y = qmatmul_fused(h.reshape(B * T, I), lp["w_down"],
+                              out_dtype=x.dtype, lidx=lidx,
+                              res=res.reshape(B * T, -1),
+                              interpret=_fuse_interpret())
+            if y is not None:
+                return y.reshape(B, T, -1)
+    elif fuse_ok:
+        B, T, I = h.shape
+        y = qmatmul_fused(h.reshape(B * T, I), lp["w_down"],
+                          out_dtype=x.dtype, lidx=lidx,
+                          res=res.reshape(B * T, -1),
+                          interpret=_fuse_interpret())
+        if y is not None:
+            return y.reshape(B, T, -1)
     down = linear(h, lp["w_down"], lidx=lidx)
     down = _psum(down, tp_axis)
     if lp.get("b_down") is not None:
         down = down + lp["b_down"].astype(down.dtype)
-    return down
+    return down if res is None else res + down
 
 
 def _moe_mlp(x, lp: Params, cfg: ModelConfig, tp_axis=None):
@@ -238,7 +358,8 @@ def _attend_nocache(q, kt, vt, positions, cfg: ModelConfig, slopes=None,
 
 def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
                lidx, start, positions, inv_freqs, slopes, tp_axis=None,
-               sliding=None, table=None, sp_axis=None, prompt_len=None):
+               sliding=None, table=None, sp_axis=None, prompt_len=None,
+               pre_norm=None, res=None):
     """x: [B, T, D]; k_all/v_all: FULL stacked caches [L, B, Hkv, S, Dh]
     (head-major, bf16 or int8 with flat bf16 scales [L, B, Hkv, S]); ``lidx`` is
     this layer's index; start: [B] int32.
@@ -249,24 +370,53 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
     written (16KB, not a rewrite of the layer's cache slice): under a
     donated lax.scan carry XLA updates them in place, which is what keeps
     decode HBM traffic at just the attention KV read.
+
+    Decode-fusion mode (_can_fuse_block): ``x`` is the RAW residual stream
+    and ``pre_norm`` the attn-norm weight — the RMS norm rides the q/k/v
+    kernels' prologue; ``res`` makes the return value INCLUDE the residual
+    (fused into the wo kernel's epilogue).
     """
     B, T, D = x.shape
     Dh = cfg.head_dim
+
+    def proj(wn, bn):
+        if pre_norm is not None:
+            return _lin_norm(x, lp[wn], lp.get(bn), pre_norm, cfg, lidx)
+        return linear(x, lp[wn], lp.get(bn), lidx=lidx)
+
+    def proj_out(out):
+        """wo projection (+psum/bias) with the block residual fused into
+        the kernel epilogue when ``res`` is set."""
+        if res is not None and lp.get("bo") is None \
+                and isinstance(lp["wo"], QTensor):
+            y = qmatmul_fused(out.reshape(B * T, -1), lp["wo"],
+                              out_dtype=x.dtype, lidx=lidx,
+                              res=res.reshape(B * T, -1),
+                              interpret=_fuse_interpret())
+            if y is not None:
+                return y.reshape(B, T, -1)
+        o = linear(out, lp["wo"], lidx=lidx)
+        o = _psum(o, tp_axis)
+        if lp.get("bo") is not None:
+            o = o + lp["bo"].astype(o.dtype)
+        if res is not None:
+            o = res + o
+        return o
 
     if "wqkv" in lp:
         # fused projection (runtime.generate.fuse_layer_weights; reference
         # fused-QKV op ne_bestla.h:42) — single-device layout, so the
         # segment widths come from cfg.
-        qkv = linear(x, lp["wqkv"], lp.get("bqkv"), lidx=lidx)
+        qkv = proj("wqkv", "bqkv")
         nq = cfg.n_heads * Dh
         nkv = cfg.n_kv_heads * Dh
         q = qkv[..., :nq]
         k = qkv[..., nq:nq + nkv]
         v = qkv[..., nq + nkv:]
     else:
-        q = linear(x, lp["wq"], lp.get("bq"), lidx=lidx)
-        k = linear(x, lp["wk"], lp.get("bk"), lidx=lidx)
-        v = linear(x, lp["wv"], lp.get("bv"), lidx=lidx)
+        q = proj("wq", "bq")
+        k = proj("wk", "bk")
+        v = proj("wv", "bv")
     # head counts derived from (possibly TP-sharded) local widths: under
     # shard_map each rank holds n_heads/tp heads (reference analog:
     # llama.cpp:117-123 n_head /= world_size).
@@ -308,11 +458,7 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         else:
             out = _attend_nocache(q, kt, vt, positions, cfg, slopes, sliding)
         out = out.astype(x.dtype)
-        out = linear(out, lp["wo"], lidx=lidx)
-        out = _psum(out, tp_axis)
-        if lp.get("bo") is not None:
-            out = out + lp["bo"].astype(out.dtype)
-        return out, None, None, None, None
+        return proj_out(out), None, None, None, None
     if table is not None:
         # paged pool [(L,) P, Hkv, ps, Dh]: page-table writes + paged
         # attention (ops/paged_attention.py)
@@ -322,11 +468,7 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
         out = attend_paged(q, k_all, v_all, ks_all, vs_all, table, positions,
                            cfg, slopes=slopes, sliding=sliding,
                            lidx=lidx).astype(x.dtype)
-        out = linear(out, lp["wo"], lidx=lidx)
-        out = _psum(out, tp_axis)
-        if lp.get("bo") is not None:
-            out = out + lp["bo"].astype(out.dtype)
-        return out, k_all, v_all, ks_all, vs_all
+        return proj_out(out), k_all, v_all, ks_all, vs_all
     if ks_all is not None:  # int8 KV (reference packed int8 KV layouts)
         kt, ks_new = quantize_kv(kt)                 # scales [B, Hkv, T]
         vt, vs_new = quantize_kv(vt)
@@ -359,16 +501,24 @@ def _attention(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
                  ).astype(x.dtype)
     # wo is row-split under TP → partial sums; one psum here is the
     # reference's post-attention ne_all_reduce (llama.cpp:592).
-    out = linear(out, lp["wo"], lidx=lidx)
-    out = _psum(out, tp_axis)
-    if lp.get("bo") is not None:
-        out = out + lp["bo"].astype(out.dtype)
-    return out, k_all, v_all, ks_all, vs_all
+    return proj_out(out), k_all, v_all, ks_all, vs_all
 
 
 def _block(x, lp: Params, cfg: ModelConfig, k_all, v_all, ks_all, vs_all,
            lidx, start, positions, inv_freqs, slopes, tp_axis=None,
            table=None, sp_axis=None, ep_axis=None, prompt_len=None):
+    if _can_fuse_block(x, cfg, tp_axis):
+        # decode fast path: norms/activation/residuals ride the Pallas
+        # weight kernels (see _can_fuse_block); bit-identical to the
+        # general path below
+        x, k_all, v_all, ks_all, vs_all = _attention(
+            x, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start,
+            positions, inv_freqs, slopes, tp_axis,
+            sliding=lp.get("use_sliding"), table=table, sp_axis=sp_axis,
+            prompt_len=prompt_len, pre_norm=lp["attn_norm_w"], res=x)
+        x = _mlp(x, lp, cfg, tp_axis, lidx, ep_axis,
+                 pre_norm=lp["ffn_norm_w"], res=x)
+        return x, k_all, v_all, ks_all, vs_all
     h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), cfg)
     attn_out, k_all, v_all, ks_all, vs_all = _attention(
         h, lp, cfg, k_all, v_all, ks_all, vs_all, lidx, start, positions,
@@ -515,21 +665,42 @@ def forward(params: Params, tokens: jnp.ndarray, start: jnp.ndarray,
         (x, k_all, v_all, ks_all, vs_all), _ = jax.lax.scan(
             body, (x, k_all, v_all, ks_all, vs_all), jnp.arange(L))
 
-    if cfg.final_norm:
-        x = _norm(x, params["final_norm_w"], params.get("final_norm_b"), cfg)
     if logit_positions is not None:
+        # gather the wanted rows BEFORE the final norm (norm is per-token,
+        # so slice-then-norm == norm-then-slice — and the norm then runs
+        # on [B, 1, D] instead of the whole prefill)
         x = x[jnp.arange(B)[:, None], logit_positions[:, None]]  # [B, 1, D]
     lm_head = params.get("lm_head")
-    if lm_head is None:  # tied embeddings
-        logits = jnp.dot(x.astype(jnp.bfloat16),
-                         params["embed"].astype(jnp.bfloat16).T,
-                         preferred_element_type=jnp.float32)
-    else:
-        # lm_head is column(vocab)-split under TP; gather the vocab shards
-        logits = linear(x, lm_head, params.get("lm_head_b"),
-                        out_dtype=jnp.float32)
-        if tp_axis:
-            logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    logits = None
+    if cfg.final_norm:
+        if (lm_head is not None and isinstance(lm_head, QTensor)
+                and params.get("final_norm_b") is None
+                and params.get("lm_head_b") is None
+                and _can_fuse_block(x, cfg, tp_axis)):
+            # decode fast path: final norm rides the lm_head kernel
+            Bx, Tx, Dx = x.shape
+            y = qmatmul_fused(
+                x.reshape(-1, Dx), lm_head, out_dtype=jnp.float32,
+                norm=(params["final_norm_w"], cfg.norm_eps,
+                      cfg.norm_offset),
+                interpret=_fuse_interpret())
+            if y is not None:
+                logits = y.reshape(Bx, Tx, -1)
+        if logits is None:
+            x = _norm(x, params["final_norm_w"], params.get("final_norm_b"),
+                      cfg)
+    if logits is None:
+        if lm_head is None:  # tied embeddings
+            logits = jnp.dot(x.astype(jnp.bfloat16),
+                             params["embed"].astype(jnp.bfloat16).T,
+                             preferred_element_type=jnp.float32)
+        else:
+            # lm_head is column(vocab)-split under TP; gather vocab shards
+            logits = linear(x, lm_head, params.get("lm_head_b"),
+                            out_dtype=jnp.float32)
+            if tp_axis:
+                logits = jax.lax.all_gather(logits, tp_axis, axis=-1,
+                                            tiled=True)
     logits = logits.astype(jnp.float32)
     if cfg.logit_softcap:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)

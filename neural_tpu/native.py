@@ -142,6 +142,10 @@ def quantize_qtensor(w: np.ndarray, cfg):
     from .core.qtensor import QTensor, pack_chunk, plane_shifts
     K, N = w.shape
     g = K if cfg.group_size == -1 else cfg.group_size
+    if g > K:  # per-tensor clamp, same rule as core.qtensor.quantize
+        import dataclasses as _dc
+        g = K
+        cfg = _dc.replace(cfg, group_size=K)
     codes, scales, zeros = rtn_quantize(w, cfg.bits, g, cfg.sym)
     chunk = pack_chunk(cfg, K)
     planes = []

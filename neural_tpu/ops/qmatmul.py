@@ -526,7 +526,8 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
 
 
 def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
-                 stacked: bool, npack: bool = False, m1: bool = False):
+                 stacked: bool, npack: bool = False, m1: bool = False,
+                 fuse: tuple = ()):
     """Native-int4 decode kernel: one full-K stripe per grid step.
 
     Measured on v5e (K=N=4096, q4_0): the hardware int4→f32 convert plus an
@@ -538,8 +539,24 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
     compensation epilogue, bestla_epilogue.h:278 ``ZpDequantInt32ToFp32``),
     where ``xs`` are per-group sums of x computed outside the kernel.
 
-    Ref order: [lidx (scalar prefetch, stacked)], x, codes, scales,
-    [zeros, xs], out. Grid (M/tm, N/tn); no K loop, no accumulator.
+    ``fuse`` (static, sym-only) folds the decode step's elementwise
+    neighbours into the weight-streaming kernel — the TPU analog of the
+    reference's fused prologue/epilogue chain (bestla_prologue_a.h /
+    bestla_epilogue.h): each entry is one of
+      ("rms", eps, offset)  — RMS-norm the activation in-prologue
+                              (x_ref holds the RAW residual stream)
+      ("glu", act)          — x is TWO refs g, u; prologue computes
+                              act(g) * u (gated-MLP input fusion)
+      ("res",)              — epilogue adds a residual tile to the output
+    The prologue math runs in f32 and rounds to bf16 exactly like the
+    standalone ops (ops/norms.py, models/transformer._act), so fused and
+    unfused paths agree bit-for-bit; it is recomputed per N-tile, which is
+    VPU-free under the weight DMA (measured: the removed per-layer XLA
+    fusions were ~8 us launch overhead each on a 7B decode step).
+
+    Ref order: [lidx (scalar prefetch, stacked)], x | (g, u), [norm_w],
+    codes, scales, [zeros, xs], [res], out. Grid (M/tm, N/tn); no K loop,
+    no accumulator.
     """
     if stacked:
         refs = refs[1:]
@@ -548,11 +565,58 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
         a = r[...]
         return a.reshape(a.shape[-2:])
 
-    x_ref, w_ref, s_ref = refs[0], refs[1], refs[2]
-    idx = 3
+    fkinds = tuple(f[0] for f in fuse)
+    refs = list(refs)
+    has_glu = "glu" in fkinds
+    scratch_ref = refs.pop() if has_glu else None
+    if has_glu:
+        g_ref, u_ref = refs.pop(0), refs.pop(0)
+    else:
+        x_ref = refs.pop(0)
+    nw_ref = refs.pop(0) if "rms" in fkinds else None
+
+    if has_glu:
+        # transcendental (exp) prologue work runs ONCE (first N-tile)
+        # into VMEM scratch, not per grid step — recomputing silu on an
+        # [8, 11264] stripe per tile measured +0.2 ms/tok on a 7B decode
+        act = next(f[1] for f in fuse if f[0] == "glu")
+
+        @pl.when(pl.program_id(1) == 0)
+        def _fill():
+            gf = g_ref[...].astype(jnp.float32)
+            uf = u_ref[...].astype(jnp.float32)
+            if act == "silu":
+                hf = gf * jax.nn.sigmoid(gf) * uf
+            elif act == "gelu":
+                hf = jax.nn.gelu(gf, approximate=False) * uf
+            elif act == "gelu_tanh":
+                hf = jax.nn.gelu(gf, approximate=True) * uf
+            elif act == "relu":
+                hf = jnp.maximum(gf, 0.0) * uf
+            else:
+                raise ValueError(act)
+            scratch_ref[...] = hf.astype(jnp.bfloat16).astype(jnp.float32)
+        x_val = scratch_ref[...]
+    else:
+        x_val = x_ref[...].astype(jnp.float32)
+    if nw_ref is not None:
+        # RMS norm recomputed per N-tile: mean+rsqrt+mul on a [tm, K]
+        # stripe is ~0.15 us of VPU per tile — cheaper than carrying
+        # scratch state (which forces sequential grid semantics)
+        _, eps, offset = next(f for f in fuse if f[0] == "rms")
+        var = jnp.mean(x_val * x_val, axis=-1, keepdims=True)
+        x_val = x_val * jax.lax.rsqrt(var + eps)
+        x_val = (x_val * (nw_ref[...].astype(jnp.float32) + offset)
+                 ).astype(jnp.bfloat16).astype(jnp.float32)
+    w_ref, s_ref = refs[0], refs[1]
+    idx = 2
     if has_zeros:
         z_ref, xs_ref = refs[idx], refs[idx + 1]
         idx += 2
+    res_ref = None
+    if "res" in fkinds:
+        res_ref = refs[idx]
+        idx += 1
     out_ref = refs[idx]
 
     wu = tile(w_ref)                                 # [K(/2), tn]
@@ -564,9 +628,9 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
     tn = wu.shape[1]
     K = wu.shape[0] * (2 if npack else 1)
     G = s.shape[0]
-    xf = x_ref[...].astype(jnp.float32)
+    xf = x_val
     TMk = xf.shape[0]
-    if m1 and K % (8 * group_size) == 0:
+    if m1:
         # M=1 (single-stream decode): pack 8 GROUPS into the 8 sublanes.
         # Rows of x8 hold x (row 0) masked to the 8 group windows of a
         # 8g-row chunk, so P8 = x8 @ Wchunk yields the 8 group partials
@@ -579,6 +643,8 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
         # copies of the single real row; callers slice [:M].
         cw = 8 * group_size
         C = K // cw
+        rem = K - C * cw            # trailing short chunk (< 8 groups);
+        rem_g = rem // group_size   # e.g. llama w_down K=11008 at g=128
         rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1)
                    // group_size
                    == jax.lax.broadcasted_iota(jnp.int32, (8, cw), 0))
@@ -590,7 +656,24 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
             P8 = jnp.dot(x8, w[cw * c:cw * (c + 1), :],
                          preferred_element_type=jnp.float32)
             accs[c % 2] = accs[c % 2] + P8 * s[8 * c:8 * (c + 1), :]
+        if rem:
+            # same masked-sublane trick on the tail: rows >= rem_g of x8
+            # are all-zero (the iota row index never matches a group) and
+            # the scale rows were zero-padded to a multiple of 8 by the
+            # caller, so the extra rows contribute exactly 0.
+            rmask = (jax.lax.broadcasted_iota(jnp.int32, (8, rem), 1)
+                     // group_size
+                     == jax.lax.broadcasted_iota(jnp.int32, (8, rem), 0))
+            xc = jnp.broadcast_to(x0[:, C * cw:K], (8, rem))
+            x8 = jnp.where(rmask, xc, 0.0)
+            P8 = jnp.dot(x8, w[C * cw:K, :],
+                         preferred_element_type=jnp.float32)
+            accs[C % 2] = accs[C % 2] + P8 * s[8 * C:8 * C + 8, :]
         total = jnp.sum(accs[0] + accs[1], axis=0, keepdims=True)
+        if res_ref is not None:
+            out_ref[...] = (total.astype(out_dtype)
+                            + res_ref[...].astype(out_dtype))
+            return
         if has_zeros:
             z = tile(z_ref)
             if z.dtype == jnp.uint8:
@@ -637,19 +720,27 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
             zf = z.astype(jnp.float32)
         acc = acc - jnp.dot(xs_ref[...], zf * s,
                             preferred_element_type=jnp.float32)
-    out_ref[...] = acc.astype(out_dtype)
+    if res_ref is not None:
+        out_ref[...] = acc.astype(out_dtype) + res_ref[...].astype(out_dtype)
+    else:
+        out_ref[...] = acc.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tm", "tn", "out_dtype", "interpret", "m1"))
+    jax.jit, static_argnames=("tm", "tn", "out_dtype", "interpret", "m1",
+                              "fuse"))
 def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
-                     m1: bool = False):
+                     m1: bool = False, fuse: tuple = (), norm_w=None,
+                     x2=None, res=None):
     """Native-int4 fused matmul for small M (decode). x: [M, K] with M % tm
-    == 0. Stacked mode streams layer ``lidx`` from [L, ...] HBM stacks."""
+    == 0 (or [1, K] in m1 mode — no row padding). Stacked mode streams
+    layer ``lidx`` from [L, ...] HBM stacks. ``fuse``/``norm_w``/``x2``/
+    ``res`` fold the neighbouring elementwise ops into the kernel (see
+    _qmm4_kernel); with ("glu", act) in fuse, ``x`` is the gate input and
+    ``x2`` the up input."""
     M, K = x.shape
     N = qt.N
     g = qt.group_size
-    grid = (M // tm, N // tn)
     stacked = lidx is not None
     lead = (1,) if stacked else ()
 
@@ -663,27 +754,57 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
 
     G = qt.scales.shape[-2]
     npack = qt.cfg.native_pack
-    in_specs = [
-        pl.BlockSpec((tm, K), xmap),
+    m1 = m1 and K % g == 0
+    grid = (1 if m1 else M // tm, N // tn)
+    x_tm = tm  # x arrives row-padded to tm even in m1 mode (Mosaic
+    #            rejects 1-row bf16 input blocks: "Invalid input layout";
+    #            the pad ops measured ~6 us/tok total — keep them)
+    scales = qt.scales
+    zeros = qt.zeros
+    has_zeros = zeros is not None
+    if m1 and G % 8:
+        # the m1 kernel consumes scales 8 group-rows at a time; zero-pad
+        # the trailing rows (loop-invariant: hoisted out of the decode
+        # scan, one padded copy per executable)
+        Gp = _round_up(G, 8)
+        pad = [(0, 0)] * scales.ndim
+        pad[-2] = (0, Gp - G)
+        scales = jnp.pad(scales, pad)
+        if has_zeros:
+            zeros = jnp.pad(zeros, pad)
+        G = Gp
+    in_specs = [pl.BlockSpec((x_tm, K), xmap)]
+    operands = [x]
+    if x2 is not None:                                # glu: (gate, up)
+        in_specs.append(pl.BlockSpec((x_tm, K), xmap))
+        operands.append(x2)
+    if norm_w is not None:
+        in_specs.append(pl.BlockSpec((1, K), lambda i, j, *a: (0, 0)))
+        operands.append(norm_w.astype(jnp.float32).reshape(1, K))
+    in_specs += [
         pl.BlockSpec((*lead, K // 2 if npack else K, tn),
                      wmap(lambda i, j: (0, j))),
         pl.BlockSpec((*lead, G, tn), wmap(lambda i, j: (0, j))),
     ]
-    operands = [x, qt.planes[0], qt.scales]
-    has_zeros = qt.zeros is not None
+    operands += [qt.planes[0], scales]
     if has_zeros:
         in_specs.append(pl.BlockSpec((*lead, G, tn), wmap(lambda i, j: (0, j))))
-        operands.append(qt.zeros)
-        xs = x.astype(jnp.float32).reshape(M, G, g).sum(axis=2)  # [M, G]
-        in_specs.append(pl.BlockSpec((tm, G), xmap))
+        operands.append(zeros)
+        xs = x.astype(jnp.float32).reshape(M, -1, g).sum(axis=2)  # [M, G0]
+        if xs.shape[1] != G:
+            xs = jnp.pad(xs, ((0, 0), (0, G - xs.shape[1])))
+        in_specs.append(pl.BlockSpec((x_tm, G), xmap))
         operands.append(xs)
 
-    m1 = m1 and K % (8 * g) == 0
     Mout = 1 if m1 else M
     out_tm = 1 if m1 else tm
+    if res is not None:
+        in_specs.append(pl.BlockSpec((out_tm, tn), lambda i, j, *a: (i, j)))
+        operands.append(res.reshape(Mout, N))
     kernel = functools.partial(
         _qmm4_kernel, group_size=g, has_zeros=has_zeros,
-        out_dtype=out_dtype, stacked=stacked, npack=npack, m1=m1)
+        out_dtype=out_dtype, stacked=stacked, npack=npack, m1=m1,
+        fuse=fuse)
     bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
                       + Mout * N * np.dtype(out_dtype).itemsize)
     # Roofline note (round-4 measured): with the m1 kernel the 7B decode
@@ -695,25 +816,32 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
     # because the bottleneck is total HBM bytes, not any kernel. Do NOT
     # chase those slices (tried: internal_scratch claims, disabling the
     # memory-bound loop optimizer via compiler options — both neutral).
+    has_glu = any(f[0] == "glu" for f in fuse)
     common = dict(
         out_shape=jax.ShapeDtypeStruct((Mout, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            # glu scratch carries state across N-tiles → the j dim must
+            # be sequential ("arbitrary"); other kernels stay parallel
+            dimension_semantics=("parallel",
+                                 "arbitrary" if has_glu else "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mout * N * K, bytes_accessed=bytes_accessed,
             transcendentals=0),
         interpret=interpret,
     )
+    scratch = [pltpu.VMEM((x_tm, K), jnp.float32)] if has_glu else []
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
             out_specs=pl.BlockSpec((out_tm, tn),
-                                   lambda i, j, l_ref: (i, j)))
+                                   lambda i, j, l_ref: (i, j)),
+            scratch_shapes=scratch)
         return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
             jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs,
         out_specs=pl.BlockSpec((out_tm, tn), lambda i, j: (i, j)),
+        scratch_shapes=scratch,
         **common)(*operands)
 
 
@@ -739,6 +867,78 @@ def _pick_decode_tiles(M, K, N, g, code_bits=4, npack=False):
         if tn <= cap and N % tn == 0:
             return _round_up(max(M, 8), 8), tn
     return None
+
+
+def qmatmul_fused(x, qt: QTensor, out_dtype=None, lidx=None, norm=None,
+                  glu=None, res=None, interpret: bool = False):
+    """Decode-step matmul with the neighbouring elementwise ops folded into
+    the weight-streaming Pallas kernel (the TPU analog of the reference's
+    prologue/epilogue fusion chain, bestla_prologue_a.h / bestla_epilogue.h
+    — there the fused ops ride the same cache-resident tile, here they ride
+    the same kernel launch, removing ~8 us of launch overhead per fused
+    XLA op on a decode step).
+
+    x: [M, K] activation — the RAW residual stream when ``norm`` is set, or
+    a TUPLE (gate, up) when ``glu`` is set. norm: (weight[K], eps, offset)
+    RMS-norm prologue. glu: activation name ("silu"/"gelu"/"gelu_tanh"/
+    "relu") gated-MLP prologue. res: [M, N] residual added to the output in
+    ``out_dtype``. All fused math matches the standalone ops bit-for-bit
+    (f32 compute, bf16 rounding at the same points).
+
+    Returns the [M, N] result, or **None** when this shape/config can't run
+    the fused kernel (caller must fall back to the unfused op chain).
+    """
+    if glu is not None:
+        g_in, u_in = x
+        x = g_in
+    if x.ndim != 2:
+        return None
+    M, K = x.shape
+    backend = jax.default_backend()
+    if not (backend == "tpu" or interpret):
+        return None
+    if qt.zeros is not None or qt.perm is not None:
+        return None
+    if not (qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8)
+            or qt.cfg.native_pack):
+        return None
+    if qt.planes[0].ndim == 2:
+        lidx = None
+    elif lidx is None:
+        return None
+    code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4
+    dec = _pick_decode_tiles(M, K, qt.N, qt.group_size, code_bits,
+                             npack=qt.cfg.native_pack)
+    if dec is None:
+        return None
+    tm, tn = dec
+    out_dtype = out_dtype or x.dtype
+    fuse = []
+    x2 = None
+    if glu is not None:
+        fuse.append(("glu", glu))
+        x2 = u_in.astype(jnp.bfloat16)
+    if norm is not None:
+        nw, eps, offset = norm
+        fuse.append(("rms", float(eps), float(offset)))
+    else:
+        nw = None
+    if res is not None:
+        fuse.append(("res",))
+    m1 = M == 1
+    Mp = _round_up(max(M, tm), tm)
+    if Mp != M:
+        pad = ((0, Mp - M), (0, 0))
+        x = jnp.pad(x, pad)
+        if x2 is not None:
+            x2 = jnp.pad(x2, pad)
+        if res is not None and not m1:  # m1 output stays [1, N]
+            res = jnp.pad(res.reshape(M, qt.N), pad)
+    out = _qmatmul4_pallas(x.astype(jnp.bfloat16), qt, tm, tn,
+                           out_dtype=out_dtype, interpret=interpret,
+                           lidx=lidx, m1=m1, fuse=tuple(fuse),
+                           norm_w=nw, x2=x2, res=res)
+    return out[:M]
 
 
 def qmatmul_native(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
@@ -900,11 +1100,11 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
             if use_pallas else None
         if dec is not None:
             tm, tn = dec
-            xp, Mp = pad_gather(x2, tm)
+            xp, _ = pad_gather(x2, tm)
             out = _qmatmul4_pallas(xp.astype(jnp.bfloat16), qt, tm, tn,
                                    out_dtype=out_dtype, interpret=interpret,
                                    lidx=lidx, m1=(M == 1))
-            if Mp != M:
+            if out.shape[0] != M:
                 out = out[:M]
             return out.reshape(*lead, qt.N)
         tiles = (_pick_tiles(M, K, qt.N, qt.group_size, 4,

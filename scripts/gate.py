@@ -42,7 +42,7 @@ LAT_BASE = os.path.join(ROOT, "baselines", "latency_tpu.json")
 
 # gated quantization configs: preset → max allowed drift of the
 # (quantized PPL / fp32 PPL) ratio vs the committed baseline ratio
-GATED = ["q4_0", "int8", "int4_g128_asym", "int3", "int5",
+GATED = ["q4_0", "q4_j", "int8", "int4_g128_asym", "int3", "int5",
          "mix_int2_int4"]   # per-tensor mixed registry (quant_registry.py)
 
 
