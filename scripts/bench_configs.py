@@ -148,11 +148,13 @@ def cfg3_server():
     """Llama-2-7B int8 weights, continuous-batching server throughput.
 
     Three schedulers over the same weights: per-token host stepping
-    (decode_block=1 — the tunneled runtime pays ~30 ms of dispatch RTT
-    per decode iteration, so this is the known-slow path), decode_block=8
-    (8 on-device steps per host round trip — reference analog: the
-    decode-only phases of scheduler.cpp:355), and decode_block=8 over the
-    paged KV pool. The committed serving capability is the blk8 number.
+    (decode_block=1 — the tunneled runtime pays a measured ~229 ms
+    dispatch+fetch RTT, so this is the known-slow path), decode_block=8
+    and 16 (N on-device steps per host round trip — reference analog:
+    the decode-only phases of scheduler.cpp:355), and decode_block=8
+    over the paged KV pool. The committed serving capability is the
+    blk8/blk16/paged rows; all are TUNNEL-RTT-BOUND (see tunnel_rtt in
+    the output), not device-bound.
     """
     import jax.numpy as jnp
     from neural_tpu.runtime.residency import ensure_decode_residency
@@ -167,8 +169,20 @@ def cfg3_server():
     n_req, plen, new = 12, 128, 64
     out = {"config": "llama7b_int8_cont_batching_server",
            "requests": n_req, "new_tokens": n_req * new}
+    # measure the tunnel's dispatch+fetch round-trip: with decode_block=B
+    # the wall floor is ~(#blocks + #prefills) * 2 * RTT — on this
+    # runtime the aggregate is RTT-BOUND, not device-bound (the blk16
+    # sweep: 8->138.7, 16->150.1, 32->116.3, 64->128.9 tok/s while the
+    # same weights decode 905+ tok/s aggregate in one on-device loop).
+    # A real-host deployment has ~none of this floor.
+    x = jnp.zeros(())
+    t0 = time.time()
+    for _ in range(10):
+        x = (x + 1.0); float(jax.device_get(x))
+    out["tunnel_rtt"] = round((time.time() - t0) / 10 * 1e3, 1)  # ms; informational, not gated
     for tag, kw in [("", {}),
                     ("blk8_", {"decode_block": 8}),
+                    ("blk16_", {"decode_block": 16}),
                     ("blk8_paged_", {"decode_block": 8,
                                      "kv_mode": "paged",
                                      "page_size": 64})]:
