@@ -162,10 +162,15 @@ class Model:
                 # streamed shard-at-a-time conversion: never instantiates
                 # the torch model, host RSS ≈ one layer + one shard (the
                 # reference's LazyTensor path, convert_llama.py:146-520);
-                # this is what makes 70B-class checkpoints convertible
+                # this is what makes 70B-class checkpoints convertible.
+                # cfg/arch_mod come from the probe's AutoConfig (loaded
+                # WITH trust_remote_code — remote-code families would
+                # otherwise fail inside the streamer's own config load)
                 from .convert.stream import params_from_hf_dir
+                arch_mod = ARCH_MODULES[cfg_hf.model_type]
                 self.params, self.cfg = params_from_hf_dir(
-                    model_name_or_path, weight_dtype, jdt)
+                    model_name_or_path, weight_dtype, jdt,
+                    cfg=arch_mod.config_from_hf(cfg_hf), arch_mod=arch_mod)
             else:
                 from .convert.hf import from_hf_model
                 model = transformers.AutoModelForCausalLM.from_pretrained(

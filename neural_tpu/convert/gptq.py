@@ -195,47 +195,12 @@ def gptq_reference_dequant(qweight, qzeros, scales, g_idx=None, bits=4,
             * scales[gk].astype(np.float32))
 
 
-# HF module-name suffix → our layer-param name (llama family; other
-# families reuse their fp maps since GPTQ checkpoints keep HF names).
-_GPTQ_SUFFIX = {
-    "self_attn.q_proj": "wq", "self_attn.k_proj": "wk",
-    "self_attn.v_proj": "wv", "self_attn.o_proj": "wo",
-    "mlp.gate_proj": "w_gate", "mlp.up_proj": "w_up",
-    "mlp.down_proj": "w_down",
-}
-
-
 def permute_cols(qt: QTensor, p: np.ndarray) -> QTensor:
     """Reorder a QTensor's OUTPUT columns (N dim): planes are packed along
     K only, so a column take on planes/scales/zeros is exact."""
     planes = tuple(pl[..., p] for pl in qt.planes)
     zeros = None if qt.zeros is None else qt.zeros[..., p]
     return QTensor(planes, qt.scales[..., p], zeros, qt.perm, qt.cfg)
-
-
-def fold_act_order(per_layer: Dict[str, list], cfg) -> None:
-    """Fold w_down's act-order permutation into gate/up OUTPUT columns.
-
-    w_down's stored rows are W[perm]; instead of gathering its activations
-    at every decode step (~60 us/layer/token of TPU lane-gather or one-hot
-    matmul), emit the gate/up projections directly in that order — the
-    SiLU⊗up elementwise block between them commutes with any column
-    permutation, so this is exact. The q/k/v/o perms cannot fold (their
-    producers mix positions: rms-norm over the residual, attention over
-    tokens) and stay as runtime gathers.
-    """
-    if "w_down" not in per_layer:
-        return
-    for i, wd in enumerate(per_layer["w_down"]):
-        if wd.perm is None:
-            continue
-        if not ("w_gate" in per_layer and "w_up" in per_layer):
-            continue
-        p = np.asarray(wd.perm)
-        per_layer["w_gate"][i] = permute_cols(per_layer["w_gate"][i], p)
-        per_layer["w_up"][i] = permute_cols(per_layer["w_up"][i], p)
-        per_layer["w_down"][i] = QTensor(wd.planes, wd.scales, wd.zeros,
-                                         None, wd.cfg)
 
 
 def qtensor_state_dict(sd: Dict[str, np.ndarray], fmt: str = "gptq",
@@ -276,7 +241,7 @@ def qtensor_state_dict(sd: Dict[str, np.ndarray], fmt: str = "gptq",
 
 
 def _fold_act_order_sd(qsd: Dict[str, Any], cfg, mod) -> None:
-    """sd-level act-order fold (see :func:`fold_act_order`): per layer,
+    """sd-level act-order fold: per layer,
     fold w_down's stored-row permutation into the producing gate/up OUTPUT
     columns (and their bias vectors) — exact, because the elementwise
     act⊗up block between them commutes with any column permutation."""

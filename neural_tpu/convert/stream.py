@@ -146,7 +146,10 @@ def params_from_hf_dir(path: str,
         qc = qc_for(base, layer)
         if base in quant_names and qc is not None and w.ndim == 2:
             return _quantize_one(w, qc)
-        return jnp.asarray(w, dtype if w.ndim > 1 else jnp.float32)
+        # non-quantized leaves (norms, biases, fp weights) are stored in
+        # ``dtype`` — EXACTLY like build_params' np.stack(ws) → dtype, so
+        # the streamed and in-memory paths stay bit-identical
+        return jnp.asarray(w, dtype)
 
     # ---- per-layer streaming
     stacks: Dict[str, list] = {n: [] for n in plain}
@@ -164,8 +167,11 @@ def params_from_hf_dir(path: str,
         for n in plain:
             stacks[n].append(one(_get(lsd, *m[n]), n, i))
         for sub in expert_subs:
+            # experts resolve layer-UNqualified (reg.resolve(sub)), same
+            # as build_params — layer-scoped registry rules do not apply
+            # to experts, keeping the stacked [L, E, ...] layout uniform
             row = [one(_get(lsd, *m[f"experts.{e}.{sub}"]),
-                       f"experts.{e}.{sub}", i)
+                       f"experts.{e}.{sub}", None)
                    for e in range(cfg.n_experts)]
             estacks[sub].append(jax.tree.map(
                 lambda *xs: jnp.stack(xs), *row)

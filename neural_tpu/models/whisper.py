@@ -796,7 +796,13 @@ def params_from_hf(model, dtype=jnp.float32,
     """
     import numpy as _np
     from ..convert.hf import _quantize_one, resolve_quant
+    from ..convert.quant_registry import QuantRegistry
     qcfg = resolve_quant(quant)
+    if isinstance(qcfg, QuantRegistry):
+        raise ValueError(
+            "whisper quantization takes a single preset/QuantConfig — "
+            "per-tensor QuantRegistry rules target decoder-family tensor "
+            "names and do not apply to the whisper encoder-decoder")
     cfg = config_from_hf(model.config)
     sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
 

@@ -799,6 +799,10 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
     Mout = 1 if m1 else M
     out_tm = 1 if m1 else tm
     if res is not None:
+        # the kernel's res epilogue writes out and RETURNS before the
+        # zero-point compensation — valid only for symmetric tensors
+        # (qmatmul_fused rejects qt.zeros; keep future callers honest)
+        assert not has_zeros, "res epilogue requires a symmetric QTensor"
         in_specs.append(pl.BlockSpec((out_tm, tn), lambda i, j, *a: (i, j)))
         operands.append(res.reshape(Mout, N))
     kernel = functools.partial(

@@ -374,6 +374,15 @@ class Scheduler:
                                 _bucket(T, self.buckets)), self.page_size)
         return self.allocator.n_free >= need * max(seq.num_beams, 1)
 
+    def _flush_table(self):
+        """Rebuild the device page table from table_np if dirty (paged KV).
+        One definition — a missed refresh site decodes against a stale
+        table (round-4 review: this block was copy-pasted four times)."""
+        if self.kv_mode == "paged" and self._table_dirty:
+            self.cache = PagedKVCache(*self.cache[:4],
+                                      jnp.asarray(self.table_np))
+            self._table_dirty = False
+
     def step(self):
         """One mixed iteration: at most one prefill CHUNK plus one batched
         decode step for all running slots (reference mixed prefill+decode
@@ -483,9 +492,8 @@ class Scheduler:
                 self.slot_pages[s] = pages
                 self.table_np[s, :] = self._trash_page
                 self.table_np[s, :need] = pages
-            self.cache = PagedKVCache(*self.cache[:4],
-                                      jnp.asarray(self.table_np))
-            self._table_dirty = False
+            self._table_dirty = True
+            self._flush_table()
             logits, self.cache = _prefill_slot_paged(
                 self.params, jnp.asarray(toks), self.cache, jnp.int32(base),
                 jnp.zeros((1,), jnp.int32), jnp.asarray([T], jnp.int32),
@@ -698,9 +706,7 @@ class Scheduler:
                 self.cfg, Tb)
         if self.kv_mode == "paged":
             if self._table_dirty:
-                self.cache = PagedKVCache(*self.cache[:4],
-                                          jnp.asarray(self.table_np))
-                self._table_dirty = False
+                self._flush_table()
                 args = (args[0], args[1], self.cache) + args[3:]
             logits, self.cache = _prefill_slot_paged(*args)
         else:
@@ -771,16 +777,10 @@ class Scheduler:
             sps = {q.sampling or self.sampling
                    for q in self.running.values()}
             if len(sps) == 1:
-                if self.kv_mode == "paged" and self._table_dirty:
-                    self.cache = PagedKVCache(*self.cache[:4],
-                                              jnp.asarray(self.table_np))
-                    self._table_dirty = False
+                self._flush_table()
                 return self._decode_block_step(next(iter(sps)),
                                                self.decode_block)
-        if self.kv_mode == "paged" and self._table_dirty:
-            self.cache = PagedKVCache(*self.cache[:4],
-                                      jnp.asarray(self.table_np))
-            self._table_dirty = False
+        self._flush_table()
         toks = jnp.asarray(self._next_tokens[:, None].astype(np.int32))
         lens = jnp.asarray(self.lengths.astype(np.int32))
         # fill-hinted attention block size (two variants max → at most one

@@ -104,12 +104,17 @@ def test_full_model_import():
                       intermediate_size=96, max_seq_len=64, eos_token_id=999)
     rng = np.random.default_rng(0)
     sd = {}
-    from neural_tpu.convert.gptq import _GPTQ_SUFFIX
+    suffix_map = {
+        "self_attn.q_proj": "wq", "self_attn.k_proj": "wk",
+        "self_attn.v_proj": "wv", "self_attn.o_proj": "wo",
+        "mlp.gate_proj": "w_gate", "mlp.up_proj": "w_up",
+        "mlp.down_proj": "w_down",
+    }
     shapes = {"wq": (64, 64), "wk": (64, 64), "wv": (64, 64), "wo": (64, 64),
               "w_gate": (64, 96), "w_up": (64, 96), "w_down": (96, 64)}
     for i in range(2):
         p = f"model.layers.{i}."
-        for suffix, ours in _GPTQ_SUFFIX.items():
+        for suffix, ours in suffix_map.items():
             K, N = shapes[ours]
             qw, qz, sc, _ = synth(K=K, N=N, seed=i * 10 + hash(ours) % 7)
             sd[p + suffix + ".qweight"] = qw
@@ -130,12 +135,14 @@ def test_full_model_import():
 
 def test_fold_act_order_exact():
     """Folding w_down's act-order perm into gate/up output columns is an
-    exact rewrite of the MLP function."""
+    exact rewrite of the MLP function (sd-level fold — the production
+    path in params_from_gptq_state_dict)."""
     import jax
-    from neural_tpu.convert.gptq import fold_act_order
+    from neural_tpu.convert.gptq import _fold_act_order_sd
     from neural_tpu.core import QuantConfig, quantize, matmul_ref
     from neural_tpu.core.qtensor import QTensor
     from neural_tpu.models.config import ModelConfig
+    from neural_tpu.models import llama as llama_mod
 
     rng = np.random.default_rng(0)
     D, I = 64, 128
@@ -149,20 +156,22 @@ def test_fold_act_order_exact():
     qd_store = q(wd[perm])          # GPTQ stores rows in act order
     qd = QTensor(qd_store.planes, qd_store.scales, qd_store.zeros,
                  jnp.asarray(perm), qd_store.cfg)
-    per_layer = {"w_gate": [q(wg)], "w_up": [q(wu)], "w_down": [qd]}
+    cfg = ModelConfig(arch="llama", hidden_size=D, intermediate_size=I,
+                      n_layers=1)
+    m = llama_mod.hf_layer_map(0, cfg)
+    qsd = {m["w_gate"][0]: q(wg), m["w_up"][0]: q(wu), m["w_down"][0]: qd}
 
     x = jnp.asarray(rng.standard_normal((4, D)).astype(np.float32))
 
-    def mlp(pl):
-        h = jax.nn.silu(matmul_ref(x, pl["w_gate"][0])) \
-            * matmul_ref(x, pl["w_up"][0])
-        return np.asarray(matmul_ref(h, pl["w_down"][0]))
+    def mlp(sd):
+        h = jax.nn.silu(matmul_ref(x, sd[m["w_gate"][0]])) \
+            * matmul_ref(x, sd[m["w_up"][0]])
+        return np.asarray(matmul_ref(h, sd[m["w_down"][0]]))
 
-    ref = mlp(per_layer)
-    cfg = ModelConfig(arch="llama")
-    fold_act_order(per_layer, cfg)
-    assert per_layer["w_down"][0].perm is None
-    np.testing.assert_allclose(mlp(per_layer), ref, rtol=1e-5, atol=1e-5)
+    ref = mlp(qsd)
+    _fold_act_order_sd(qsd, cfg, llama_mod)
+    assert qsd[m["w_down"][0]].perm is None
+    np.testing.assert_allclose(mlp(qsd), ref, rtol=1e-5, atol=1e-5)
 
 
 def test_concat_n_shared_perm():

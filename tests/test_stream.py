@@ -50,12 +50,16 @@ def _tree_equal(a, b):
 
 
 @pytest.mark.parametrize("quant", [None, "q4_0"])
-def test_streamed_matches_from_hf_model(hf_dir, quant):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_streamed_matches_from_hf_model(hf_dir, quant, dtype):
+    # bf16 included: the streamed path must cast per-layer 1-D tensors
+    # (norms/biases) to ``dtype`` exactly like build_params — a round-4
+    # review caught them landing in f32 and breaking bit-exactness
     d, torch_model = hf_dir
     from neural_tpu.convert.hf import from_hf_model
     from neural_tpu.convert.stream import params_from_hf_dir
-    ref, cfg_ref = from_hf_model(torch_model, quant, jnp.float32)
-    got, cfg = params_from_hf_dir(d, quant, jnp.float32)
+    ref, cfg_ref = from_hf_model(torch_model, quant, dtype)
+    got, cfg = params_from_hf_dir(d, quant, dtype)
     assert cfg == cfg_ref
     _tree_equal(got, ref)
 
