@@ -335,6 +335,10 @@ class Model:
         if streamer is not None:
             assert len(rows) == 1, "Streamer only supports batch size 1."
             assert num_beams == 1, "can not use streamer with beam search"
+        if stopping_criteria is not None and num_beams > 1 and not do_sample:
+            raise ValueError(
+                "stopping_criteria is not applied inside beam search; "
+                "use num_beams=1 or post-filter the returned hypotheses")
         if (len(rows) > 1 and num_beams == 1 and not hooked
                 and not streaming):
             # batched path: one padded prefill + one on-device decode loop
@@ -486,7 +490,7 @@ class Model:
             if streamer is not None:
                 streamer.put(np.asarray([[next_id]]))
             if stopping_criteria is not None and stopping_criteria(
-                    np.asarray([full]), None):
+                    np.asarray([full]), np.asarray(logits[0, -1])):
                 self._token_end = True
                 break
             if stop_at_eos and next_id == self.cfg.eos_token_id:
