@@ -23,6 +23,12 @@ from .kvcache import init_cache
 from .sampling import SamplingParams, SamplerState, sample
 
 
+# prepare_params leaves tensors whose f32 conversion temp exceeds this in
+# at-rest form (in-jit conversion would spike HBM); runtime.residency
+# imports it so the packed-vs-native estimate matches the kernel policy
+IN_JIT_SKIP_BYTES = 1 << 30
+
+
 def _qleaves(params):
     return [l for l in jax.tree.leaves(
         params, is_leaf=lambda x: isinstance(x, QTensor))
@@ -156,7 +162,7 @@ def prepare_params(params, native: Optional[bool] = None,
             # (e.g. a 152k-vocab lm_head: [4096, 151936] i32 = 2.5 GB —
             # OOMs a 16 GB chip next to a 7B model); the packed Pallas
             # kernel handles them at streaming rate once per step.
-            if l.K * l.N * 4 > (1 << 30):
+            if l.K * l.N * 4 > IN_JIT_SKIP_BYTES:
                 return l
             return to_native(l)
         return jax.tree.map(one, tree,
@@ -202,7 +208,7 @@ def prepare_params(params, native: Optional[bool] = None,
             def one_seq(l):
                 if not isinstance(l, QTensor) or is_native(l):
                     return l
-                if l.K * l.N * 4 > (1 << 30):
+                if l.K * l.N * 4 > IN_JIT_SKIP_BYTES:
                     return l
                 if prev[0] is not None:
                     l, _ = jax.lax.optimization_barrier((l, prev[0]))

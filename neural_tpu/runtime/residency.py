@@ -45,13 +45,7 @@ from ..models.config import ModelConfig
 # on a nominal 16 GB chip, so real transients+reservations exceed 3 GB).
 TRANSIENT_BYTES = 3 << 30
 
-_IN_JIT_SKIP_BYTES = 1 << 30  # prepare_params skips K*N*4 > 1 GB tensors
-
-
-def _qleaves(tree):
-    return [l for l in jax.tree.leaves(
-        tree, is_leaf=lambda x: isinstance(x, QTensor))
-        if isinstance(l, QTensor)]
+from .generate import IN_JIT_SKIP_BYTES as _IN_JIT_SKIP_BYTES, _qleaves
 
 
 def tree_device_bytes(params) -> int:

@@ -216,7 +216,7 @@ class Scheduler:
                  prefill_chunk: Optional[int] = 512,
                  streaming: bool = False, n_keep: int = 4,
                  n_discard: Optional[int] = None,
-                 decode_block: int = 1):
+                 decode_block: int = 1, donate_params: bool = True):
         """``kv_mode="paged"``: shared page pool + per-slot page tables
         (runtime/paged.py). ``n_pages`` sizes the pool below worst case
         (default batch·max_len/page_size); admission defers when the pool
@@ -250,11 +250,15 @@ class Scheduler:
         # max_len × kv dtype): packed + in-jit conversion when it fits,
         # native-at-rest when the double residency would OOM (the batch-8
         # serving config on one 16 GB chip) — runtime.residency policy,
-        # NTPU_NATIVE_AT_REST=1/0 still forces. donate=False: callers may
-        # share the packed tree across schedulers.
+        # NTPU_NATIVE_AT_REST=1/0 still forces. donate_params=True
+        # (default) lets the conversion FREE the packed source as it
+        # streams — without it a native conversion keeps BOTH trees
+        # resident, recreating the exact OOM the policy avoids. Pass
+        # donate_params=False only to share one packed tree across
+        # schedulers at shapes that stay packed.
         from ..runtime.residency import ensure_decode_residency
         params = ensure_decode_residency(params, cfg, max_batch, max_len,
-                                         kv_dtype, donate=False)
+                                         kv_dtype, donate=donate_params)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -311,7 +315,11 @@ class Scheduler:
         self.finished: List[Sequence] = []
         self.free_slots = list(range(max_batch))[::-1]
         self.key = jax.random.PRNGKey(seed)
-        self.state = SamplerState.init(max_batch, self.sampling)
+        # per-SLOT mirostat mu, persisted across tokens (reset at slot
+        # assignment; without this mu re-inits every token and the
+        # mirostat control loop never converges)
+        self._mu = np.full(max_batch, 2.0 * self.sampling.mirostat_tau,
+                           np.float32)
         self._next_tokens = np.zeros(max_batch, np.int64)
         self.decode_block = max(1, decode_block)
         self.steps_decoding_for_next_prefill = 0  # reference scheduler.cpp:355
@@ -335,6 +343,21 @@ class Scheduler:
                 "request exceeds max_len"
         if num_beams > 1:
             assert num_beams <= self.max_batch, "num_beams exceeds slot pool"
+        if self.kv_mode == "paged":
+            # reject requests the pool can NEVER satisfy — otherwise
+            # admission defers forever and run_to_completion() livelocks
+            # (the allocator's usable capacity excludes the trash page)
+            per_beam = pages_needed(
+                min(len(prompt_ids) + max_new_tokens, self.max_len),
+                self.page_size)
+            need = max(1, num_beams) * per_beam
+            cap = self.cache.n_pages - 1
+            if need > cap:
+                raise ValueError(
+                    f"request needs {need} pages but the pool holds {cap} "
+                    f"(n_pages={self.cache.n_pages}, page_size="
+                    f"{self.page_size}); raise n_pages or lower "
+                    "max_new_tokens")
         self.waiting.append(Sequence(request_id, list(prompt_ids),
                                      max_new_tokens, sampling,
                                      num_beams=num_beams,
@@ -423,15 +446,29 @@ class Scheduler:
             return jnp.asarray(self.prompt_lens.astype(np.int32))
         return None
 
+    def _min_tokens_mask(self, logits_row, seq: Sequence):
+        """-inf the EOS logit until min_new_tokens is met (the non-beam
+        analog of the beam path's lines; reference logits_processor
+        min-new-tokens, model_utils.h:404)."""
+        if len(seq.output_ids) < seq.min_new_tokens:
+            logits_row = jnp.asarray(logits_row).at[
+                self.cfg.eos_token_id].set(-np.inf)
+        return logits_row
+
     def _sample_one(self, logits_row, seq: Sequence):
         sp = seq.sampling or self.sampling
         self.key, sub = jax.random.split(self.key)
+        logits_row = self._min_tokens_mask(logits_row, seq)
+        st = SamplerState(mu=jnp.asarray([self._mu[seq.slot]])) \
+            if sp.mirostat else None
         if sp.repeat_last_n <= 0:  # 0 disables penalties (llama.cpp conv.)
-            tok, _ = sample(logits_row[None], sub, sp)
+            tok, st2 = sample(logits_row[None], sub, sp, st)
         else:
             hist = (seq.prompt_ids + seq.output_ids)[-sp.repeat_last_n:]
-            tok, _ = sample(logits_row[None], sub, sp,
-                            prev_tokens=jnp.asarray([hist], jnp.int32))
+            tok, st2 = sample(logits_row[None], sub, sp, st,
+                              prev_tokens=jnp.asarray([hist], jnp.int32))
+        if sp.mirostat:
+            self._mu[seq.slot] = float(st2.mu[0])
         return int(tok[0])
 
     def _sample_many(self, logits: np.ndarray, seqs: List[Sequence]):
@@ -440,28 +477,36 @@ class Scheduler:
         blocking host↔device round trip each — measured 12 tok/s aggregate
         vs the decode step itself at ~6 ms on the tunneled runtime."""
         toks = np.zeros(len(seqs), np.int64)
+        logits = np.array(logits, np.float32, copy=True)
+        for i, seq in enumerate(seqs):   # min-new-tokens EOS suppression
+            if len(seq.output_ids) < seq.min_new_tokens:
+                logits[i, self.cfg.eos_token_id] = -np.inf
         groups: Dict[SamplingParams, List[int]] = {}
         for i, seq in enumerate(seqs):
             groups.setdefault(seq.sampling or self.sampling, []).append(i)
         for sp, idxs in groups.items():
             self.key, sub = jax.random.split(self.key)
+            st = SamplerState(mu=jnp.asarray(
+                self._mu[[seqs[i].slot for i in idxs]])) \
+                if sp.mirostat else None
             rl = sp.repeat_last_n
             if rl <= 0:  # 0 disables penalties (llama.cpp convention)
-                t, _ = sample(jnp.asarray(logits[idxs]), sub, sp)
-                t = np.asarray(t)
+                t, st2 = sample(jnp.asarray(logits[idxs]), sub, sp, st)
+            else:
+                hist = np.zeros((len(idxs), rl), np.int32)
+                valid = np.zeros((len(idxs), rl), bool)
                 for j, i in enumerate(idxs):
-                    toks[i] = int(t[j])
-                continue
-            hist = np.zeros((len(idxs), rl), np.int32)
-            valid = np.zeros((len(idxs), rl), bool)
-            for j, i in enumerate(idxs):
-                h = (seqs[i].prompt_ids + seqs[i].output_ids)[-rl:]
-                hist[j, :len(h)] = h
-                valid[j, :len(h)] = True
-            t, _ = sample(jnp.asarray(logits[idxs]), sub, sp,
-                          prev_tokens=jnp.asarray(hist),
-                          prev_valid=jnp.asarray(valid))
+                    h = (seqs[i].prompt_ids + seqs[i].output_ids)[-rl:]
+                    hist[j, :len(h)] = h
+                    valid[j, :len(h)] = True
+                t, st2 = sample(jnp.asarray(logits[idxs]), sub, sp, st,
+                                prev_tokens=jnp.asarray(hist),
+                                prev_valid=jnp.asarray(valid))
             t = np.asarray(t)
+            if sp.mirostat:
+                mu = np.asarray(st2.mu)
+                for j, i in enumerate(idxs):
+                    self._mu[seqs[i].slot] = mu[j]
             for j, i in enumerate(idxs):
                 toks[i] = int(t[j])
         return toks
@@ -776,7 +821,13 @@ class Scheduler:
             # can't touch another sequence's pages
             sps = {q.sampling or self.sampling
                    for q in self.running.values()}
-            if len(sps) == 1:
+            # mirostat state and the min-new-tokens EOS mask are host-side
+            # per-token concerns; fall back to per-token stepping for them
+            block_ok = (len(sps) == 1
+                        and not next(iter(sps)).mirostat
+                        and all(len(q.output_ids) >= q.min_new_tokens
+                                for q in self.running.values()))
+            if block_ok:
                 self._flush_table()
                 return self._decode_block_step(next(iter(sps)),
                                                self.decode_block)
@@ -785,7 +836,6 @@ class Scheduler:
         lens = jnp.asarray(self.lengths.astype(np.int32))
         # fill-hinted attention block size (two variants max → at most one
         # extra compile when the longest slot crosses the threshold)
-        from ..runtime.generate import pick_decode_blk
         cfg = pick_decode_blk(self.cfg, int(self.lengths.max()) + 1)
         logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
                                          cfg, prompt_len=self._plens())
@@ -807,7 +857,8 @@ class Scheduler:
 
     def _maybe_finish(self, seq: Sequence):
         done = (len(seq.output_ids) >= seq.max_new_tokens
-                or seq.output_ids[-1] == self.cfg.eos_token_id
+                or (seq.output_ids[-1] == self.cfg.eos_token_id
+                    and len(seq.output_ids) >= seq.min_new_tokens)
                 or (not self.streaming
                     and self.lengths[seq.slot] + 1 >= self.max_len))
         if not done and self.streaming \

@@ -456,3 +456,57 @@ def test_decode_block_paged_matches_single_step(model):
                 for s in sched.run_to_completion()}
 
     assert run(1) == run(4)
+
+
+def test_paged_impossible_request_rejected(model):
+    """A request whose page reservation can NEVER be satisfied raises at
+    add_request instead of livelocking run_to_completion (round-4
+    review finding)."""
+    params, cfg = model
+    sched = Scheduler(params, cfg, max_batch=1, max_len=128,
+                      kv_mode="paged", page_size=32, n_pages=3)
+    with pytest.raises(ValueError, match="pages"):
+        sched.add_request("big", list(range(1, 60)), max_new_tokens=64)
+    # a fitting request still works
+    sched.add_request("ok", [3, 5, 7], max_new_tokens=8)
+    sched.run_to_completion()
+
+
+def test_min_new_tokens_non_beam(model):
+    """min_new_tokens suppresses EOS for plain (non-beam) requests too
+    (reference logits_processor min-new-tokens, model_utils.h:404)."""
+    import dataclasses
+    params, cfg = model
+    # find the greedy token the model emits, then make IT the eos: without
+    # the min-new-tokens mask the request would finish in 1 token
+    probe = Scheduler(params, cfg, max_batch=1, max_len=64,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    probe.add_request("p", [3, 5, 7], max_new_tokens=1)
+    first = probe.run_to_completion()[0].output_ids[0]
+    cfg_eos = dataclasses.replace(cfg, eos_token_id=first)
+    sched = Scheduler(params, cfg_eos, max_batch=1, max_len=64,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0))
+    sched.add_request("q", [3, 5, 7], max_new_tokens=8, min_new_tokens=4)
+    out = sched.run_to_completion()[0]
+    assert len(out.output_ids) >= 4
+    assert first not in out.output_ids[:3]   # EOS masked while below min
+
+
+def test_mirostat_mu_persists(model):
+    """Mirostat's mu adapts ACROSS tokens in the scheduler (round-4 review:
+    state was discarded every step, resetting mu to 2*tau)."""
+    params, cfg = model
+    sp = SamplingParams(greedy=False, mirostat=2, mirostat_tau=3.0,
+                        repeat_penalty=1.0, repeat_last_n=0)
+    sched = Scheduler(params, cfg, max_batch=1, max_len=64, sampling=sp)
+    sched.add_request("m", [3, 5, 7], max_new_tokens=6)
+    slot_mu = []
+    while sched.has_work:
+        sched.step()
+        slot_mu.append(float(sched._mu[0]))
+    assert len(slot_mu) >= 5
+    # mu must move away from its 2*tau init and keep evolving
+    assert any(abs(m - 6.0) > 1e-3 for m in slot_mu)
+    assert len(set(np.round(slot_mu, 5))) > 1
