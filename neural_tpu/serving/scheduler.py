@@ -746,13 +746,12 @@ class Scheduler:
         assert begin + Tb <= self.max_len, "guarded by _seq_chunk"
         toks = np.zeros((1, Tb), np.int32)
         toks[0, :n] = seq.prompt_ids[begin:end]
+        self._flush_table()   # BEFORE building args: a stale (donated)
+        #                       cache in the tuple would be silently wrong
         args = (self.params, jnp.asarray(toks), self.cache, jnp.int32(slot),
                 jnp.asarray([begin], jnp.int32), jnp.asarray([T], jnp.int32),
                 self.cfg, Tb)
         if self.kv_mode == "paged":
-            if self._table_dirty:
-                self._flush_table()
-                args = (args[0], args[1], self.cache) + args[3:]
             logits, self.cache = _prefill_slot_paged(*args)
         else:
             logits, self.cache = _prefill_slot(*args)
