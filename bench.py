@@ -290,17 +290,22 @@ def main():
         return
 
     extras, errors = {}, []
+    decode_samples = []
     for name in ("decode", "decode", "decode_q40", "decode_i8kv", "batch8",
                  "prefill"):
         # the headline decode leg runs TWICE and keeps the faster sample:
         # HBM buffer placement is fixed per process and adds ±0.2 ms/tok
         # of cross-process variance on the tunneled runtime (device time
-        # from the jax trace is stable at 4.96 ms/tok q4_j) — best-of-2
-        # process samples halves the noise without touching the metric
+        # from the jax trace is stable at 4.96 ms/tok q4_j). BOTH samples
+        # are recorded in the output (next_token_ms_samples) so the
+        # methodology is visible and any baseline comparison can use the
+        # same best-of-2 policy (round-4 advisor note).
         res, err = run_leg_subprocess(name)
         if res is not None:
-            if name == "decode" and "next_token_ms" in extras:
-                if res["next_token_ms"] >= extras["next_token_ms"]:
+            if name == "decode":
+                decode_samples.append(res["next_token_ms"])
+                if "next_token_ms" in extras \
+                        and res["next_token_ms"] >= extras["next_token_ms"]:
                     res = {}
             extras.update(res)
             print(f"# leg {name}: {res}", file=sys.stderr)
@@ -320,6 +325,9 @@ def main():
                           "errors": errors}))
         sys.exit(1)
 
+    if len(decode_samples) > 1:
+        extras["next_token_ms_samples"] = [round(s, 3)
+                                           for s in decode_samples]
     if "next_token_ms_fill1975" in extras:
         extras["decode_tps_fill1975"] = round(
             1000.0 / extras["next_token_ms_fill1975"], 2)

@@ -282,6 +282,14 @@ class Model:
         timings = Timings()
         kvdt = jnp.int8 if kv_dtype in ("int8", jnp.int8) else jnp.bfloat16
         rows = _to_id_list(input_ids)
+        if self.cfg.arch in ("llama", "mistral", "mixtral") \
+                and self.cfg.vocab_size == 128256:
+            # Llama-3 quirk (reference neural_speed/__init__.py:345-348):
+            # ensure the prompt starts with <|begin_of_text|> — chat
+            # templates sometimes omit it and quality collapses without it.
+            bos = self.cfg.bos_token_id
+            rows = [r if (r and r[0] == bos) else [bos] + list(r)
+                    for r in rows]
         if mesh is None:
             # pick the weight residency that fits this decode shape (packed
             # when there's headroom, native-at-rest when the in-jit
@@ -493,7 +501,7 @@ class Model:
                     np.asarray([full]), np.asarray(logits[0, -1])):
                 self._token_end = True
                 break
-            if stop_at_eos and next_id == self.cfg.eos_token_id:
+            if stop_at_eos and next_id in self.cfg.eos_token_ids:
                 self._token_end = True
                 break
             if i == max_new_tokens - 1 or pos + 1 >= S:

@@ -319,7 +319,7 @@ def _add_aux(params: Dict[str, Any], cfg: ModelConfig):
     if cfg.rope_style != "none":
         params["rope_inv_freqs"] = jnp.asarray(
             rope_freqs(cfg.head_dim, cfg.rope_dim, cfg.rope_theta,
-                       cfg.rope_scaling_dict))
+                       cfg.rope_scaling_dict, max_seq_len=cfg.max_seq_len))
     if cfg.use_alibi:
         params["alibi_slopes"] = jnp.asarray(alibi_slopes(cfg.n_heads))
 

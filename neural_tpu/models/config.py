@@ -78,7 +78,18 @@ class ModelConfig:
     # generation defaults
     max_seq_len: int = 4096
     bos_token_id: int = 1
+    # ``eos_token_id`` may be passed as an int OR a list/tuple (HF
+    # Llama-3-Instruct ships ``eos_token_id: [128001, 128009]`` — the
+    # reference special-cases this at neural_speed/__init__.py:345-348 by
+    # adding <|eot_id|> to the stop set). __post_init__ normalizes:
+    # ``eos_token_id`` stays the primary int (GGUF writer, back-compat),
+    # any remaining ids land in ``extra_eos_ids``, and the
+    # ``eos_token_ids`` property is the full stop set used by every
+    # stop/mask check. Storing only the EXTRAS keeps
+    # ``dataclasses.replace(cfg, eos_token_id=x)`` well-behaved (the old
+    # primary does not linger in the stop set). All jit-static-safe.
     eos_token_id: int = 2
+    extra_eos_ids: tuple = ()
 
     # decode-attention S-block size (kernel tuning; None → 512). Small
     # fills want small blocks (DMA tracks fill at block granularity),
@@ -91,6 +102,23 @@ class ModelConfig:
         if isinstance(self.rope_scaling, dict):
             object.__setattr__(self, "rope_scaling",
                                tuple(sorted(self.rope_scaling.items())))
+        # Normalize eos: accept int | list | tuple in eos_token_id; the
+        # primary stays an int, the rest merge into extra_eos_ids.
+        eid = self.eos_token_id
+        if isinstance(eid, (list, tuple)):
+            ids = tuple(int(t) for t in eid) or (2,)
+            object.__setattr__(self, "eos_token_id", ids[0])
+        else:
+            ids = (int(eid),)
+        extra = tuple(int(t) for t in (self.extra_eos_ids or ()))
+        extra = tuple(dict.fromkeys(ids[1:] + extra))  # ordered de-dup
+        object.__setattr__(self, "extra_eos_ids",
+                           tuple(t for t in extra if t != ids[0]))
+
+    @property
+    def eos_token_ids(self) -> tuple:
+        """Full stop set: primary eos + arch/checkpoint extras."""
+        return (self.eos_token_id,) + self.extra_eos_ids
 
     @property
     def rope_scaling_dict(self) -> Optional[Dict[str, Any]]:

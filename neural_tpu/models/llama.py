@@ -43,7 +43,15 @@ def config_from_hf(c) -> ModelConfig:
         n_experts=n_experts,
         n_experts_active=getattr(c, "num_experts_per_tok", 0) or 0,
         bos_token_id=getattr(c, "bos_token_id", 1) or 1,
+        # May be an int OR a list (Llama-3-Instruct ships
+        # ``eos_token_id: [128001, 128009]``); ModelConfig.__post_init__
+        # normalizes either into the eos_token_ids stop set.
         eos_token_id=getattr(c, "eos_token_id", 2) or 2,
+        # Llama-3 (vocab 128256): <|eot_id|> (128009) always terminates a
+        # chat turn even when the checkpoint config lists only
+        # <|end_of_text|> — the reference special-cases this
+        # (neural_speed/__init__.py:423-434 __get_special_eos_id).
+        extra_eos_ids=(128009,) if c.vocab_size == 128256 else (),
     )
 
 

@@ -107,7 +107,7 @@ def attend_xla(q, k_cache, v_cache, k_scale, v_scale, positions, cfg,
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(lens_ref, win_ref, *refs, blk_s: int, n_sblk: int = 0,
+def _decode_kernel(lens_ref, win_ref, *refs, blk_s: int,
                    kv_int8: bool = False, hb: int = 1,
                    softcap: float, scale: float,
                    has_slopes: bool = False, stacked: bool = False):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _decode_kernel, attend_xla, quantize_kv
+from .attention import _decode_kernel, attend_xla, flash_prefill, quantize_kv
 
 
 def _paged_decode_kernel(lens_ref, win_ref, table_ref, *refs, **kw):
@@ -166,9 +166,13 @@ def attend_paged(q, k_pool, v_pool, k_scale, v_scale, table, positions, cfg,
                  slopes=None, sliding=None, force=None, interpret=False,
                  lidx=None):
     """Paged dispatcher, mirroring ops.attention.attend: Pallas paged
-    decode kernel for T==1 on TPU; XLA page-gather + reference attention
-    otherwise (prefill runs once per admission — the gather fuses into the
-    attention reads)."""
+    decode kernel for T==1 on TPU; prefill (T>1) gathers the slot's pages
+    into a contiguous [B, Hkv, S, Dh] view and runs the Pallas
+    ``flash_prefill`` kernel over it — the gather is one KV-sized HBM copy,
+    while the former attend_xla route materialized the full
+    [B, Hkv, G, T, S] score tensor (the exact cost the reference's fused
+    prefill eliminates, docs/fused_attention.md 9748→1476 ms). XLA
+    reference attention remains the fallback off-TPU / for odd shapes."""
     B, T, Hq, Dh = q.shape
     stacked = k_pool.ndim == 5
     ps = k_pool.shape[-2]
@@ -202,6 +206,22 @@ def attend_paged(q, k_pool, v_pool, k_scale, v_scale, table, positions, cfg,
     v = gather_pages(v_pool, table)
     ks = None if k_scale is None else gather_scales(k_scale, table)
     vs = None if v_scale is None else gather_scales(v_scale, table)
+    S = k.shape[2]
+    if (use_pallas and T > 8 and Dh % 128 == 0 and S % 256 == 0
+            and force != "xla"):
+        Tp = -(-T // 128) * 128
+        qp = q if Tp == T else jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0),
+                                           (0, 0)))
+        bt = next(t for t in (1024, 512, 256, 128) if Tp % t == 0)
+        bs = next(t for t in (1024, 512, 256) if S % t == 0)
+        out = flash_prefill(
+            qp, k, v, ks, vs, starts=positions[:, 0],
+            slopes=slopes if cfg.use_alibi else None, blk_t=bt, blk_s=bs,
+            softcap=cfg.attn_softcap, window=window,
+            scale=(cfg.attn_scale if cfg.attn_scale is not None
+                   else Dh ** -0.5),
+            interpret=interpret)
+        return out[:, :T].reshape(B, T, Hq * Dh)
     return attend_xla(q, k, v, ks, vs, positions, cfg, slopes, sliding)
 
 

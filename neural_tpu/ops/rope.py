@@ -15,8 +15,13 @@ import numpy as np
 
 
 def rope_freqs(head_dim: int, rope_dim: Optional[int], theta: float,
-               scaling: Optional[dict] = None) -> np.ndarray:
-    """Per-pair inverse frequencies [rope_dim//2] (host-side constant)."""
+               scaling: Optional[dict] = None,
+               max_seq_len: Optional[int] = None) -> np.ndarray:
+    """Per-pair inverse frequencies [rope_dim//2] (host-side constant).
+
+    ``max_seq_len``: the context length the table must serve — consumed by
+    the "dynamic" NTK kind (see below); ignored by the others.
+    """
     d = rope_dim or head_dim
     inv = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
     if scaling:
@@ -37,8 +42,34 @@ def rope_freqs(head_dim: int, rope_dim: Optional[int], theta: float,
             wavelen = 2 * np.pi / inv
             ramp = np.clip((wavelen - orig / high) / (orig / low - orig / high), 0, 1)
             inv = inv / (factor * ramp + (1 - ramp))
+        elif kind == "llama3":
+            # Llama-3.1 frequency-band scaling (HF rope_type "llama3"):
+            # long wavelengths divided by ``factor``, short kept, a smooth
+            # band between low/high_freq_factor interpolating the two.
+            factor = scaling["factor"]
+            orig = scaling.get("original_max_position_embeddings", 8192)
+            lo_f = scaling.get("low_freq_factor", 1.0)
+            hi_f = scaling.get("high_freq_factor", 4.0)
+            wavelen = 2 * np.pi / inv
+            smooth = np.clip((orig / wavelen - lo_f) / (hi_f - lo_f), 0, 1)
+            inv = np.where(wavelen < orig / hi_f, inv,         # short: keep
+                           (1 - smooth) * inv / factor + smooth * inv)
         elif kind == "dynamic":
-            pass  # dynamic NTK handled at call time; base case here
+            # NTK-by-parts "dynamic" scaling, evaluated STATICALLY for the
+            # table's serving length: true per-step recompute would change
+            # already-cached keys' phases (and retrace under jit), so like
+            # most serving stacks we scale theta once for the worst case
+            # max_seq_len. No-op when the table never exceeds the trained
+            # window.
+            orig = scaling.get("original_max_position_embeddings",
+                               scaling.get("max_position_embeddings", 4096))
+            target = max(max_seq_len or orig, orig)
+            factor = scaling.get("factor", 1.0)
+            alpha = (factor * target / orig) - (factor - 1)
+            if alpha > 1.0:
+                theta_d = theta * alpha ** (d / max(d - 2, 1))
+                inv = 1.0 / (theta_d **
+                             (np.arange(0, d, 2, dtype=np.float64) / d))
         else:
             raise ValueError(f"unknown rope scaling {kind}")
     return inv.astype(np.float32)

@@ -240,7 +240,8 @@ def tp_generate(params, cfg: ModelConfig, mesh: Mesh, rows,
     for b in range(n_rows):
         budget = min(max_new_tokens, S - len(rows[b]))
         ids = new[b, :budget].tolist()
-        if stop_at_eos and cfg.eos_token_id in ids:
-            ids = ids[:ids.index(cfg.eos_token_id) + 1]
+        if stop_at_eos:
+            from ..runtime.generate import truncate_at_eos
+            ids = truncate_at_eos(ids, cfg)
         outs.append(list(rows[b]) + ids)
     return outs

@@ -89,7 +89,7 @@ def beam_search(params, cfg: ModelConfig, prompt_ids: Sequence[int],
                                jnp.zeros((W,), jnp.int32), cache, cfg)
     logp0 = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
     if min_new_tokens > 0:
-        logp0 = logp0.at[cfg.eos_token_id].add(-1e30)
+        logp0 = logp0.at[jnp.asarray(cfg.eos_token_ids)].add(-1e30)
     top_scores, top_toks = jax.lax.top_k(logp0, W)
 
     beams = [list(prompt_ids) + [int(t)] for t in np.asarray(top_toks)]
@@ -102,7 +102,7 @@ def beam_search(params, cfg: ModelConfig, prompt_ids: Sequence[int],
 
     # first token may be EOS (if min_new_tokens == 0)
     for w in range(W):
-        if beams[w][-1] == cfg.eos_token_id and min_new_tokens <= 1:
+        if beams[w][-1] in cfg.eos_token_ids and min_new_tokens <= 1:
             done.append(Hypothesis(beams[w], scores[w] / lp(1)))
             alive[w] = False
 
@@ -112,7 +112,7 @@ def beam_search(params, cfg: ModelConfig, prompt_ids: Sequence[int],
             break
         eos_mask = np.zeros(cfg.vocab_size, np.float32)
         if step + 1 <= min_new_tokens:
-            eos_mask[cfg.eos_token_id] = -1e30
+            eos_mask[list(cfg.eos_token_ids)] = -1e30
         tokens = jnp.asarray(
             np.asarray([b[-1] for b in beams], np.int32)[:, None])
         parents, toks, new_scores, _, cache = _beam_step(
@@ -128,7 +128,7 @@ def beam_search(params, cfg: ModelConfig, prompt_ids: Sequence[int],
         for w in range(W):
             seq = beams[parents[w]] + [int(toks[w])]
             new_beams.append(seq)
-            if int(toks[w]) == cfg.eos_token_id:
+            if int(toks[w]) in cfg.eos_token_ids:
                 done.append(Hypothesis(seq, new_scores[w] / lp(step + 1)))
                 new_alive[w] = False
                 new_scores[w] = -1e30

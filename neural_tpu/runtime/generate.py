@@ -310,6 +310,17 @@ def model_step(params, tokens, start, cache, cfg: ModelConfig,
     return forward(params, tokens, start, cache, cfg, prompt_len=prompt_len)
 
 
+def truncate_at_eos(ids, cfg: ModelConfig):
+    """Cut a generated-id list after its first stop token. Membership is
+    over the full stop set ``cfg.eos_token_ids`` (Llama-3-Instruct stops
+    on <|end_of_text|> OR <|eot_id|>; reference
+    neural_speed/__init__.py:423-434)."""
+    for i, t in enumerate(ids):
+        if t in cfg.eos_token_ids:
+            return ids[:i + 1]
+    return ids
+
+
 def _plen(cfg: ModelConfig, lens) -> Optional[jnp.ndarray]:
     """Prompt-length operand for decode steps — only prefix-LM archs
     (ChatGLM v1) consume it; None elsewhere keeps jit signatures lean."""
@@ -335,7 +346,7 @@ def greedy_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
 
     pos = T
     for _ in range(max_new_tokens - 1):
-        if stop_at_eos and next_id == cfg.eos_token_id:
+        if stop_at_eos and next_id in cfg.eos_token_ids:
             break
         tok = jnp.asarray([[next_id]], jnp.int32)
         logits, cache = model_step(params, tok,
@@ -378,7 +389,7 @@ def generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
                                 prev_tokens=jnp.asarray(hist))
         next_id = int(tok[0])
         out.append(next_id)
-        if stop_at_eos and next_id == cfg.eos_token_id:
+        if stop_at_eos and next_id in cfg.eos_token_ids:
             break
         if i == max_new_tokens - 1 or pos + 1 >= S:
             break
@@ -550,8 +561,8 @@ def batched_generate(params, cfg: ModelConfig, rows, sampling=None,
     for b, r in enumerate(rows):
         budget = min(max_new_tokens, S - len(r))
         ids = new[b, :budget].tolist()
-        if stop_at_eos and cfg.eos_token_id in ids:
-            ids = ids[:ids.index(cfg.eos_token_id) + 1]
+        if stop_at_eos:
+            ids = truncate_at_eos(ids, cfg)
         outs.append(list(r) + ids)
     return outs
 

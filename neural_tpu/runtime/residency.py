@@ -149,6 +149,15 @@ def ensure_decode_residency(params, cfg: ModelConfig, batch: int = 1,
                   f"{device_hbm_budget() / 2**30:.1f} GiB at batch={batch} "
                   f"S={S} — converting weights to native-at-rest",
                   file=sys.stderr)
+        if donate:
+            # Donation invalidates the packed source tree the caller passed
+            # in. Always say so (not just under VERBOSE): a caller sharing
+            # one tree across schedulers/models must opt out, and a silent
+            # invalidation is far harder to debug than this one line.
+            print("[neural-tpu] residency: converting weights with "
+                  "donation — the packed params tree passed in is consumed "
+                  "(pass donate_params=False to keep sharing it)",
+                  file=sys.stderr)
         from .generate import params_to_native
         params = params_to_native(params, donate=donate)
     return params

@@ -137,7 +137,7 @@ def stream_generate(params, cfg: ModelConfig, prompt_ids: Sequence[int],
                             prev_tokens=hist)
         next_id = int(tok[0])
         out.append(next_id)
-        if stop_at_eos and next_id == cfg.eos_token_id:
+        if stop_at_eos and next_id in cfg.eos_token_ids:
             break
         if pos >= max_len:      # cache full → shift (ring-full, llama.cpp:106)
             cache = shift_cache(cache, inv_freqs, cfg, n_keep, n_discard)

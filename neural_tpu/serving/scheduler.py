@@ -315,9 +315,11 @@ class Scheduler:
         self.finished: List[Sequence] = []
         self.free_slots = list(range(max_batch))[::-1]
         self.key = jax.random.PRNGKey(seed)
-        # per-SLOT mirostat mu, persisted across tokens (reset at slot
-        # assignment; without this mu re-inits every token and the
-        # mirostat control loop never converges)
+        # per-SLOT mirostat mu, persisted across tokens. Re-initialized to
+        # 2*tau by _reset_mu at every slot assignment (_begin_prefill /
+        # _prefill_beam) — a reused slot must not inherit the previous
+        # request's converged mu, and a per-request mirostat_tau needs its
+        # own 2*tau start (round-4 review finding).
         self._mu = np.full(max_batch, 2.0 * self.sampling.mirostat_tau,
                            np.float32)
         self._next_tokens = np.zeros(max_batch, np.int64)
@@ -345,12 +347,13 @@ class Scheduler:
             assert num_beams <= self.max_batch, "num_beams exceeds slot pool"
         if self.kv_mode == "paged":
             # reject requests the pool can NEVER satisfy — otherwise
-            # admission defers forever and run_to_completion() livelocks
-            # (the allocator's usable capacity excludes the trash page)
-            per_beam = pages_needed(
-                min(len(prompt_ids) + max_new_tokens, self.max_len),
-                self.page_size)
-            need = max(1, num_beams) * per_beam
+            # admission defers forever and run_to_completion() livelocks.
+            # Must use the SAME worst-case formula as _can_admit /
+            # _begin_prefill (bucket pad included): a request that passes a
+            # smaller check here but never satisfies admission would still
+            # livelock (round-4 review finding).
+            need = self._pages_required(len(prompt_ids), max_new_tokens,
+                                        num_beams)
             cap = self.cache.n_pages - 1
             if need > cap:
                 raise ValueError(
@@ -384,6 +387,18 @@ class Scheduler:
                 return free[i] - W + 1
         return free[0] if W == 1 and free else None
 
+    def _pages_required(self, T: int, max_new_tokens: int,
+                        num_beams: int) -> int:
+        """Worst-case page reservation for a request: prompt+max_new or the
+        single-shot bucket pad end, whichever is larger, capped at the
+        per-slot table size, per beam. Shared by add_request's never-fits
+        rejection, _can_admit, and (per-slot) _begin_prefill so the three
+        gates can never disagree."""
+        per_beam = min(pages_needed(max(T + max_new_tokens,
+                                        _bucket(T, self.buckets)),
+                                    self.page_size), self.maxp)
+        return per_beam * max(num_beams, 1)
+
     def _can_admit(self, seq: Sequence) -> bool:
         if not self.free_slots:
             return False
@@ -392,10 +407,9 @@ class Scheduler:
             return False
         if self.kv_mode != "paged":
             return True
-        T = len(seq.prompt_ids)
-        need = pages_needed(max(T + seq.max_new_tokens,
-                                _bucket(T, self.buckets)), self.page_size)
-        return self.allocator.n_free >= need * max(seq.num_beams, 1)
+        need = self._pages_required(len(seq.prompt_ids), seq.max_new_tokens,
+                                    seq.num_beams)
+        return self.allocator.n_free >= need
 
     def _flush_table(self):
         """Rebuild the device page table from table_np if dirty (paged KV).
@@ -452,7 +466,7 @@ class Scheduler:
         min-new-tokens, model_utils.h:404)."""
         if len(seq.output_ids) < seq.min_new_tokens:
             logits_row = jnp.asarray(logits_row).at[
-                self.cfg.eos_token_id].set(-np.inf)
+                jnp.asarray(self.cfg.eos_token_ids)].set(-np.inf)
         return logits_row
 
     def _sample_one(self, logits_row, seq: Sequence):
@@ -480,7 +494,7 @@ class Scheduler:
         logits = np.array(logits, np.float32, copy=True)
         for i, seq in enumerate(seqs):   # min-new-tokens EOS suppression
             if len(seq.output_ids) < seq.min_new_tokens:
-                logits[i, self.cfg.eos_token_id] = -np.inf
+                logits[i, list(self.cfg.eos_token_ids)] = -np.inf
         groups: Dict[SamplingParams, List[int]] = {}
         for i, seq in enumerate(seqs):
             groups.setdefault(seq.sampling or self.sampling, []).append(i)
@@ -522,6 +536,7 @@ class Scheduler:
         base = self._find_contiguous(W)
         for s in range(base, base + W):
             self.free_slots.remove(s)
+        self._reset_mu(seq, range(base, base + W))
         T = len(seq.prompt_ids)
         Tb = _bucket(T, self.buckets)
         toks = np.zeros((1, Tb), np.int32)
@@ -563,14 +578,14 @@ class Scheduler:
         logp0 = row - row.max()
         logp0 -= np.log(np.exp(logp0).sum())
         if seq.min_new_tokens > 0:
-            logp0[self.cfg.eos_token_id] = -1e30
+            logp0[list(self.cfg.eos_token_ids)] = -1e30
         top = np.argsort(-logp0)[:W]
         beams = [seq.prompt_ids + [int(t)] for t in top]
         scores = logp0[top].astype(np.float64)
         alive = np.ones(W, bool)
         done: List[Tuple[List[int], float]] = []
         for w in range(W):
-            if beams[w][-1] == self.cfg.eos_token_id and seq.min_new_tokens <= 1:
+            if beams[w][-1] in self.cfg.eos_token_ids and seq.min_new_tokens <= 1:
                 done.append((beams[w], scores[w] / self._lp(
                     1, seq.length_penalty)))
                 alive[w] = False
@@ -597,7 +612,7 @@ class Scheduler:
         rows -= rows.max(axis=-1, keepdims=True)
         rows -= np.log(np.exp(rows).sum(axis=-1, keepdims=True))
         if g.step + 1 <= seq.min_new_tokens:
-            rows[:, self.cfg.eos_token_id] = -1e30
+            rows[:, list(self.cfg.eos_token_ids)] = -1e30
         rows[~g.alive] = -1e30          # dead beams must not spawn
         total = (g.scores[:, None] + rows).ravel()
         V = rows.shape[-1]
@@ -632,7 +647,7 @@ class Scheduler:
         for w in range(W):
             ids = g.beams[parents[w]] + [int(toks[w])]
             new_beams.append(ids)
-            if int(toks[w]) == self.cfg.eos_token_id:
+            if int(toks[w]) in self.cfg.eos_token_ids:
                 g.done.append((ids, new_scores[w] / self._lp(
                     g.step, seq.length_penalty)))
                 new_alive[w] = False
@@ -701,9 +716,16 @@ class Scheduler:
         return [(b, min(b + chunk, T)) for b in range(0, T, chunk)] \
             or [(0, 0)]
 
+    def _reset_mu(self, seq: Sequence, slots):
+        """Fresh mirostat state for newly assigned slot(s)."""
+        tau = (seq.sampling or self.sampling).mirostat_tau
+        for s in ([slots] if isinstance(slots, (int, np.integer)) else slots):
+            self._mu[int(s)] = 2.0 * tau
+
     def _begin_prefill(self, seq: Sequence):
         slot = self.free_slots.pop()
         seq.slot = slot
+        self._reset_mu(seq, slot)
         seq.status = SeqStatus.PREFILL
         seq.prefill_pos = 0
         seq.chunk = self._seq_chunk(seq)
@@ -856,7 +878,7 @@ class Scheduler:
 
     def _maybe_finish(self, seq: Sequence):
         done = (len(seq.output_ids) >= seq.max_new_tokens
-                or (seq.output_ids[-1] == self.cfg.eos_token_id
+                or (seq.output_ids[-1] in self.cfg.eos_token_ids
                     and len(seq.output_ids) >= seq.min_new_tokens)
                 or (not self.streaming
                     and self.lengths[seq.slot] + 1 >= self.max_len))

@@ -105,7 +105,8 @@ def accuracy_ratios():
     from neural_tpu.eval import perplexity
 
     params, cfg, corpus = build_corpus()
-    p_fp = perplexity(params, cfg, corpus, ctx_size=128, stride=64)["ppl"]
+    p_fp = perplexity(params, cfg, corpus, ctx_size=128, stride=64,
+                      batch=4)["ppl"]
     ratios = {"fp32_ppl": round(p_fp, 4)}
     for name in GATED:
         if name in PRESETS:
@@ -116,7 +117,8 @@ def accuracy_ratios():
             qc = quant_config_from_args(name)
         # same seed → the same underlying weights, quantized at this config
         qp = _amp_head(init_random(cfg, seed=0, quant=qc, dtype=jnp.float32))
-        p_q = perplexity(qp, cfg, corpus, ctx_size=128, stride=64)["ppl"]
+        p_q = perplexity(qp, cfg, corpus, ctx_size=128, stride=64,
+                         batch=4)["ppl"]
         ratios[name] = round(p_q / p_fp, 4)
         print(f"  {name}: ppl {p_q:.3f} ratio {p_q / p_fp:.4f}",
               file=sys.stderr)

@@ -136,8 +136,13 @@ def main():
         for name in ("chunked",):
             # p99 on the tunneled runtime is dominated by sporadic
             # multi-second allocator/compile stalls (see the baseline
-            # note) — gate the stable percentiles only
-            for k in ("p50_ms", "p90_ms"):
+            # note) — gate the stable percentiles only by default.
+            # TODO(off-tunnel): on a real host the p99 exclusion rationale
+            # disappears — re-record the baseline there and run with
+            # NTPU_GATE_P99=1 to reinstate the p99 gate.
+            keys = ("p50_ms", "p90_ms", "p99_ms") \
+                if os.environ.get("NTPU_GATE_P99") else ("p50_ms", "p90_ms")
+            for k in keys:
                 got, want = res[name][k], base[name][k]
                 if got > want * (1 + args.tol):
                     print(f"GATE FAIL {name}.{k}: {got} > {want} "

@@ -141,6 +141,45 @@ def test_paged_decode_kernel_stacked_lidx():
                                    atol=3e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("kv_int8", [False, True])
+def test_paged_prefill_pallas_vs_oracle(kv_int8):
+    """attend_paged's T>1 route (gather + Pallas flash_prefill, interpret
+    mode) vs the XLA reference over the same gathered view — the round-4
+    weak spot where paged prefill fell off the Pallas path and
+    materialized the [B, Hkv, G, T, S] score tensor."""
+    from neural_tpu.ops.paged_attention import attend_paged
+    rng = np.random.default_rng(3)
+    B, Hq, Hkv, Dh, ps, maxp, T = 2, 8, 2, 128, 256, 2, 48
+    P = B * maxp + 1
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, Dh)).astype(np.float32))
+    if kv_int8:
+        kp = jnp.asarray(rng.integers(-127, 127, (P, Hkv, ps, Dh)), jnp.int8)
+        vp = jnp.asarray(rng.integers(-127, 127, (P, Hkv, ps, Dh)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.01, 0.05, (P, Hkv, ps)), jnp.bfloat16)
+        vs = jnp.asarray(rng.uniform(0.01, 0.05, (P, Hkv, ps)), jnp.bfloat16)
+    else:
+        kp = jnp.asarray(rng.standard_normal((P, Hkv, ps, Dh)), jnp.bfloat16)
+        vp = jnp.asarray(rng.standard_normal((P, Hkv, ps, Dh)), jnp.bfloat16)
+        ks = vs = None
+    tab = jnp.asarray(rng.permutation(P - 1).reshape(1, -1)[
+        :, :B * maxp].reshape(B, maxp).astype(np.int32))
+    # chunked-prefill shape: chunk starts mid-cache (row t at start+t)
+    starts = np.asarray([64, 0], np.int32)
+    positions = jnp.asarray(starts[:, None] + np.arange(T)[None, :])
+    cfg = tiny_cfg(n_heads=Hq, n_kv_heads=Hkv, head_dim=Dh)
+
+    got = attend_paged(q, kp, vp, ks, vs, tab, positions, cfg,
+                       interpret=True)
+    ref = attend_paged(q, kp, vp, ks, vs, tab, positions, cfg, force="xla")
+    # int8: the kernel additionally quantizes q per-row for the int8 MXU
+    # dot (the oracle dequantizes exactly); early prefill rows attend few
+    # keys, so the softmax is sharp and the weight perturbation shows as
+    # up to ~2% of the |v|~6 output scale (measured max 0.12)
+    tol = dict(atol=0.15, rtol=5e-2) if kv_int8 else \
+        dict(atol=4e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
+
+
 def test_paged_scheduler_matches_sequential():
     """12 requests through an UNDERSIZED page pool (oversubscription forces
     admission deferral) must match per-request loop generation."""
