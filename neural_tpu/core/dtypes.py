@@ -125,8 +125,14 @@ PRESETS = {
     "q4_0": QuantConfig(bits=4, group_size=32, sym=True),
     # the reference's headline CI precision (cpp_graph_inference.sh:427
     # "--weight_dtype int4 --group_size 128 --alg sym"): int4 g128 sym —
-    # 4x fewer scale bytes than q4_0, the decode roofline config
-    "q4_j": QuantConfig(bits=4, group_size=128, sym=True),
+    # 4x fewer scale bytes than q4_0, the decode roofline config.
+    # act_bits=8 is ADVISORY: decode (M=1) keeps the native-int4 bf16
+    # kernel untouched; prefill (M>=256) takes the int8-compute path
+    # (199 TF/s measured vs 141 bf16 on v5e — the reference's own
+    # headline q4_j_i8 pairs int8 activations with int4 g128 weights,
+    # bestla_prologue_a.h:105 ActivationKBlockQuantize). PPL cost is
+    # gated in scripts/gate.py ("q4_j" entry scores the a8 numerics).
+    "q4_j": QuantConfig(bits=4, group_size=128, sym=True, act_bits=8),
     "q4_1": QuantConfig(bits=4, group_size=32, sym=False),
     "q4_j_g32": QuantConfig(bits=4, group_size=32, sym=False),
     "q4_j_g128": QuantConfig(bits=4, group_size=128, sym=False),

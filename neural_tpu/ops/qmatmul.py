@@ -145,7 +145,7 @@ def _sel_col(sw, g):
 
 def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
                    n_planes: int, has_zeros: bool, gd: int, out_dtype,
-                   stacked: bool = False):
+                   stacked: bool = False, in_quant: bool = False):
     """int8-compute (w4a8/w8a8) matmul kernel.
 
     Grid (M/tm, N/tn, K/tk), K innermost. Per K-tile: unpack the weight
@@ -166,6 +166,32 @@ def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
     Ref order: [lidx], x_i8, planes..., w_scales, [zwp, xsa], sa, out, acc.
     Scale stripes arrive full-K; selected one-hot per group (Mosaic has no
     dynamic value slicing).
+
+    ``in_quant`` (sym only): x arrives as the RAW bf16/f32 tile and the
+    per-row-group quantization runs IN-KERNEL per gd-chunk — the true
+    analog of the reference's fused ActivationKBlockQuantize prologue
+    (bestla_prologue_a.h:105). Feeding the kernel XLA-prequantized int8
+    pays a ~0.8 ms/layer relayout copy at 7B prefill shapes (the fused
+    quantize's output layout never matches the custom call's operand
+    constraint; measured: K=11264 combined 1.63 ms vs 0.76 kernel +
+    0.08 quantize alone). Two flavors:
+
+    - ``True``: quantize locally per (j, k) grid step — recomputed for
+      every N-tile, so only dispatched when N/tn is small (x is also
+      re-streamed as bf16 per N-tile).
+    - ``"scratch"``: scales still come from the XLA-side quantize (the
+      tiny f32 [M, Ga] operand carries no relayout tax — only the int8
+      codes did), but the CODES are computed once per (i, k) at the
+      first N-tile into a [Ga, tm, gd] int8 VMEM scratch and reused for
+      all later N-tiles; the x block map collapses to a fixed tile for
+      j > 0 so its DMA is elided. Removes the relayout, the per-N-tile
+      recompute, AND the per-N-tile x re-reads — the mode for
+      many-N-tile GEMMs (lm_head N/tn=125, gate/up N/tn=11). Requires
+      the j grid dim to be "arbitrary" (sequential) so j == 0 fills
+      before j > 0 reads.
+
+    Both are bit-identical to quantize_act_i8 (same absmax/127 scale,
+    same round; x read at original dtype).
     """
     if stacked:
         refs = refs[1:]
@@ -182,8 +208,15 @@ def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
     if has_zeros:
         zwp_ref, xsa_ref = refs[idx], refs[idx + 1]
         idx += 2
-    sa_ref = refs[idx]
-    out_ref, acc_ref = refs[idx + 1], refs[idx + 2]
+    if in_quant is True:
+        sa_ref = None
+        out_ref, acc_ref = refs[idx], refs[idx + 1]
+    elif in_quant == "scratch":
+        sa_ref = refs[idx]
+        out_ref, acc_ref, xq_ref = refs[idx + 1], refs[idx + 2], refs[idx + 3]
+    else:
+        sa_ref = refs[idx]
+        out_ref, acc_ref = refs[idx + 1], refs[idx + 2]
 
     kt = pl.program_id(2)
 
@@ -213,19 +246,36 @@ def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
     x = x_ref[...]
     TK = w8.shape[0]
     sw_f = tile(sw_ref).astype(jnp.float32)
-    sa_f = sa_ref[...].astype(jnp.float32)
+    sa_f = None if in_quant is True else sa_ref[...].astype(jnp.float32)
+    jt = pl.program_id(1)
     # weight-scale groups per dot group (gd == group_size unless g == -1,
     # where one weight group spans all of K)
     sub = TK // gd
     r = max(group_size // gd, 1) if group_size > 0 else (1 << 30)
     for j in range(sub):
-        d = jax.lax.dot_general(x[:, j * gd:(j + 1) * gd],
-                                w8[j * gd:(j + 1) * gd, :],
+        ga = kt * sub + j
+        if in_quant is True:
+            xg = x[:, j * gd:(j + 1) * gd].astype(jnp.float32)
+            a = (jnp.max(jnp.abs(xg), axis=1, keepdims=True) + 1e-9) / 127.0
+            xq = jnp.round(xg / a).astype(jnp.int8)
+            row_scale = a
+        elif in_quant == "scratch":
+            row_scale = _sel_row(sa_f, ga)
+
+            @pl.when(jt == 0)
+            def _fill(j=j, row_scale=row_scale):
+                xg = x[:, j * gd:(j + 1) * gd].astype(jnp.float32)
+                q = jnp.round(xg / row_scale).astype(jnp.int8)
+                xq_ref[pl.dslice(kt * sub + j, 1)] = q[None]
+            xq = xq_ref[pl.dslice(ga, 1)].reshape(x.shape[0], gd)
+        else:
+            xq = x[:, j * gd:(j + 1) * gd]
+            row_scale = _sel_row(sa_f, ga)
+        d = jax.lax.dot_general(xq, w8[j * gd:(j + 1) * gd, :],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        ga = kt * sub + j
         gw = ga // r if group_size > 0 else 0
-        acc_ref[...] += d.astype(jnp.float32) * (_sel_row(sa_f, ga)
+        acc_ref[...] += d.astype(jnp.float32) * (row_scale
                                                  * _sel_col(sw_f, gw))
 
     @pl.when(kt == pl.num_programs(2) - 1)
@@ -235,13 +285,21 @@ def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
 
 @functools.partial(
     jax.jit, static_argnames=("tm", "tn", "tk", "gd", "out_dtype",
-                              "interpret"))
+                              "interpret", "mode"))
 def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
-                       interpret, lidx=None):
-    """int8-compute fused matmul. ``x_i8``/``sa`` from :func:`quantize_act_i8`
-    (groups of ``gd``). Stacked mode streams layer ``lidx`` from [L, ...]
-    HBM stacks; the small zero-point correction operands are sliced to the
-    layer up front (they're rank-G — the copy is trivial)."""
+                       interpret, lidx=None, mode=None):
+    """int8-compute fused matmul. ``mode`` selects the act-quant flavor
+    (see _qmm_a8_kernel):
+
+    - None (default): ``x_i8``/``sa`` from :func:`quantize_act_i8`.
+    - True: raw x, ``sa=None`` — full in-kernel quantize per grid step.
+    - "scratch": raw x + XLA ``sa``; codes quantized once per (m, k)
+      tile into VMEM scratch at the first N-tile and reused.
+
+    Stacked mode streams layer ``lidx`` from [L, ...] HBM stacks; the
+    small zero-point correction operands are sliced to the layer up
+    front (they're rank-G — the copy is trivial)."""
+    in_quant = mode if mode is not None else (True if sa is None else False)
     M, K = x_i8.shape
     N = qt.N
     cfg = qt.cfg
@@ -254,8 +312,16 @@ def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
             return lambda i, j, k, l_ref: (l_ref[0], *f(i, j, k))
         return f
 
-    def xmap(i, j, k, *a):
-        return (i, k)
+    if in_quant == "scratch":
+        # x is consumed only at the first N-tile (codes cached in VMEM
+        # scratch after that); collapsing the map for j > 0 makes the
+        # block index repeat, so Pallas elides the x DMA entirely —
+        # x streams ONCE instead of N/tn times
+        def xmap(i, j, k, *a):
+            return (i, jnp.where(j == 0, k, 0))
+    else:
+        def xmap(i, j, k, *a):
+            return (i, k)
 
     def smap(i, j, k, *a):
         return (i, 0)
@@ -279,6 +345,8 @@ def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
                                  wmap(lambda i, j, k: (0, j))))
     operands = [x_i8, *qt.planes, qt.scales]
     has_zeros = qt.zeros is not None
+    assert not (in_quant and has_zeros), \
+        "in-kernel act quant is sym-only (zp compensation needs x_i8 sums)"
     if has_zeros:
         zeros, scales = qt.zeros, qt.scales
         if stacked:
@@ -299,20 +367,28 @@ def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
         operands.append(zwp)
         in_specs.append(pl.BlockSpec((tm, Ga), smap))
         operands.append(xsa)
-    in_specs.append(pl.BlockSpec((tm, Ga), smap))
-    operands.append(sa)
+    if in_quant is not True:
+        in_specs.append(pl.BlockSpec((tm, Ga), smap))
+        operands.append(sa)
 
     kernel = functools.partial(
         _qmm_a8_kernel, cfg=cfg, group_size=cfg.group_size,
         chunk=pack_chunk(cfg, K), n_planes=len(qt.planes),
-        has_zeros=has_zeros, gd=gd, out_dtype=out_dtype, stacked=stacked)
+        has_zeros=has_zeros, gd=gd, out_dtype=out_dtype, stacked=stacked,
+        in_quant=in_quant)
 
-    bytes_accessed = (x_i8.size + qt.nbytes()
+    scratch_shapes = [pltpu.VMEM((tm, tn), jnp.float32)]
+    if in_quant == "scratch":
+        scratch_shapes.append(pltpu.VMEM((Ga, tm, gd), jnp.int8))
+    # scratch mode needs j sequential (j == 0 fills the code scratch)
+    dims = ("parallel",
+            "arbitrary" if in_quant == "scratch" else "parallel",
+            "arbitrary")
+    bytes_accessed = (x_i8.size * x_i8.dtype.itemsize + qt.nbytes()
                       + M * N * np.dtype(out_dtype).itemsize)
     common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=dims),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K, bytes_accessed=bytes_accessed,
             transcendentals=0),
@@ -322,13 +398,13 @@ def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
             out_specs=pl.BlockSpec((tm, tn), lambda i, j, k, l_ref: (i, j)),
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)])
+            scratch_shapes=scratch_shapes)
         return pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
             jnp.asarray(lidx, jnp.int32).reshape(1), *operands)
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         **common)(*operands)
 
 
@@ -1009,6 +1085,12 @@ def _pick_tiles(M, K, N, g, bits, kind):
         tk = K  # single K-step: whole scales stripe read, no slicing
         if tk % align or tk % g:
             return None
+    if tk > 512 and tm > 512:
+        # g=128 forces tk=1024 (the scales row-slice needs tk/g % 8 == 0);
+        # tm=tn=tk=1024 then overflows the 16 MB scoped-VMEM budget
+        # (measured: 16.21M requested at M=2048 K=N=4096 q4_j act16 —
+        # "kernel-vmem-stack-oom"). Halving tm fits with margin.
+        tm = 512
     return tm, tn, tk
 
 
@@ -1081,19 +1163,46 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
         return gathered(xp), Mp
 
     backend = jax.default_backend()
-    a8_ok = force != "xla" and (backend == "tpu" or interpret
-                                or force == "pallas")
-    a8 = _pick_a8(M, K, qt.N, qt.cfg) if a8_ok else None
+    a8 = _pick_a8(M, K, qt.N, qt.cfg) if force != "xla" else None
     if a8 is not None:
         tm, tn, tk, gd = a8
-        xp, Mp = pad_gather(x2, tm)
-        x_i8, sa = quantize_act_i8(xp, gd)
-        out = _qmatmul_a8_pallas(x_i8, sa, qt, tm, tn, tk, gd,
-                                 out_dtype=out_dtype, interpret=interpret,
-                                 lidx=lidx)
-        if Mp != M:
-            out = out[:M]
-        return out.reshape(*lead, qt.N)
+        if backend == "tpu" or interpret or force == "pallas":
+            xp, Mp = pad_gather(x2, tm)
+            mode = None
+            if qt.zeros is None and qt.N // tn <= 4:
+                # sym, few N-tiles: raw x (original dtype — quantizing a
+                # pre-rounded bf16 copy would diverge from the
+                # quantize_act_i8 oracle), act-quant fused in-kernel per
+                # grid step. Measured at 7B M=2048: qkv/o 0.42→0.36 ms,
+                # down 1.60→0.93 (vs the XLA-prequantized path whose
+                # int8 relayout into the custom call cost up to 0.8 ms).
+                x_i8, sa, mode = xp, None, True
+            else:
+                # asym (zp epilogue needs host-side x_i8 row sums) or
+                # many N-tiles (gate/up N/tn=11, lm_head N/tn=125):
+                # XLA-side dynamic act quant. The naive in-kernel
+                # flavor re-quantizes and re-streams bf16 x per N-tile
+                # (lm_head 3.6→6.8 ms); the VMEM code-scratch flavor
+                # ("scratch" mode, kept + tested) measured 1.21/6.61 ms
+                # vs external's 0.94/3.60 at gate-up/lm_head — its
+                # sequential-j grid breaks cross-N-tile pipelining, a
+                # recorded negative result. External's int8 relayout
+                # (~0.2 ms here) is the cheapest of the three.
+                x_i8, sa = quantize_act_i8(xp, gd)
+            out = _qmatmul_a8_pallas(x_i8, sa, qt, tm, tn, tk, gd,
+                                     out_dtype=out_dtype,
+                                     interpret=interpret, lidx=lidx,
+                                     mode=mode)
+            if Mp != M:
+                out = out[:M]
+            return out.reshape(*lead, qt.N)
+        # CPU/XLA backends apply the SAME dynamic act-quant numerics via
+        # the reference path: dispatch decides WHERE to compute, never
+        # WHAT — and it lets the (CPU) PPL gate actually score the a8
+        # prefill recipe the TPU runs (scripts/gate.py "q4_j").
+        qtl = slice_layer(qt, lidx) if lidx is not None else qt
+        return matmul_a8_ref(x2, qtl, gd, dtype=out_dtype).reshape(
+            *lead, qt.N)
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8) \
             or qt.cfg.native_pack:
         code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4

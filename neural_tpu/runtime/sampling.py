@@ -188,6 +188,160 @@ def sample(logits: jnp.ndarray, key, params: SamplingParams,
     return _categorical(key, logits), state
 
 
+class BatchedSamplingParams(NamedTuple):
+    """Per-ROW sampling parameters as device arrays — one [B, V] sampling
+    dispatch even when every running request carries different
+    SamplingParams (the reference serves per-query generation configs
+    through one batched post-process, model_utils.h:533-536). Built host-
+    side by :func:`batch_params`; consumed by :func:`sample_batched`."""
+    temperature: jnp.ndarray        # [B] f32
+    top_k: jnp.ndarray              # [B] i32 (<=0 disabled)
+    top_p: jnp.ndarray              # [B] f32 (>=1 disabled)
+    tfs_z: jnp.ndarray              # [B] f32 (>=1 disabled)
+    typical_p: jnp.ndarray          # [B] f32 (>=1 disabled)
+    repeat_penalty: jnp.ndarray     # [B] f32 (==1 disabled)
+    frequency_penalty: jnp.ndarray  # [B] f32
+    presence_penalty: jnp.ndarray   # [B] f32
+    mirostat: jnp.ndarray           # [B] i32 (0 off, 1 v1, 2 v2)
+    mirostat_tau: jnp.ndarray       # [B] f32
+    mirostat_eta: jnp.ndarray       # [B] f32
+    greedy: jnp.ndarray             # [B] bool
+    mask_eos: jnp.ndarray           # [B] bool (min-new-tokens suppression)
+
+
+def batch_params(rows, mask_eos=None) -> BatchedSamplingParams:
+    """list[SamplingParams] (+ per-row eos-suppression flags) → arrays."""
+    import numpy as np
+    f = lambda name: jnp.asarray(
+        np.asarray([getattr(r, name) for r in rows], np.float32))
+    i = lambda name: jnp.asarray(
+        np.asarray([getattr(r, name) for r in rows], np.int32))
+    if mask_eos is None:
+        mask_eos = [False] * len(rows)
+    return BatchedSamplingParams(
+        temperature=f("temperature"), top_k=i("top_k"), top_p=f("top_p"),
+        tfs_z=f("tfs_z"), typical_p=f("typical_p"),
+        repeat_penalty=f("repeat_penalty"),
+        frequency_penalty=f("frequency_penalty"),
+        presence_penalty=f("presence_penalty"), mirostat=i("mirostat"),
+        mirostat_tau=f("mirostat_tau"), mirostat_eta=f("mirostat_eta"),
+        greedy=jnp.asarray(np.asarray([r.greedy or r.temperature <= 0
+                                       for r in rows], bool)),
+        mask_eos=jnp.asarray(np.asarray(mask_eos, bool)))
+
+
+def _rowwise_filters(logits, bp: BatchedSamplingParams):
+    """top-k → TFS → typical → top-p with PER-ROW thresholds (branchless:
+    each filter computes unconditionally and row-selects; a disabled row
+    keeps its input)."""
+    B, V = logits.shape
+    rows = jnp.arange(B)
+
+    # top-k: per-row kth value; disabled rows get an -inf threshold
+    sl = jnp.sort(logits, axis=-1)[..., ::-1]
+    k = jnp.clip(bp.top_k, 1, V)
+    kth = jnp.take_along_axis(sl, (k - 1)[:, None], axis=-1)
+    k_on = jnp.logical_and(bp.top_k > 0, bp.top_k < V)[:, None]
+    logits = jnp.where(jnp.logical_and(k_on, logits < kth), NEG, logits)
+
+    # tail-free (sort again: the top-k mask changed the distribution)
+    sl = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sl, axis=-1)
+    d2 = jnp.abs(jnp.diff(jnp.diff(probs, axis=-1), axis=-1))
+    d2 = d2 / jnp.maximum(d2.sum(-1, keepdims=True), 1e-12)
+    keep = jnp.cumsum(d2, axis=-1) < bp.tfs_z[:, None]
+    n_keep = jnp.maximum(keep.sum(-1) + 1, 1)
+    cutoff = jnp.take_along_axis(sl, (n_keep - 1)[:, None], axis=-1)
+    tfs_on = (bp.tfs_z < 1.0)[:, None]
+    logits = jnp.where(jnp.logical_and(tfs_on, logits < cutoff), NEG, logits)
+
+    # locally-typical
+    probs = jax.nn.softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * logp, 0.0), -1,
+                   keepdims=True)
+    shift = jnp.abs(-logp - ent)
+    order = jnp.argsort(shift, axis=-1)
+    ps = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(ps, axis=-1)
+    keep_sorted = (cum - ps) < bp.typical_p[:, None]
+    keep = jnp.zeros_like(keep_sorted).at[rows[:, None], order].set(
+        keep_sorted)
+    typ_on = (bp.typical_p < 1.0)[:, None]
+    logits = jnp.where(jnp.logical_and(typ_on, ~keep), NEG, logits)
+
+    # top-p (nucleus); p >= 1 is naturally a no-op
+    sl = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sl, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < jnp.minimum(bp.top_p, 1.0)[:, None]
+    n_keep = jnp.maximum(keep_sorted.sum(-1), 1)
+    cutoff = jnp.take_along_axis(sl, (n_keep - 1)[:, None], axis=-1)
+    p_on = (bp.top_p < 1.0)[:, None]
+    return jnp.where(jnp.logical_and(p_on, logits < cutoff), NEG, logits)
+
+
+def sample_batched(logits: jnp.ndarray, key, bp: BatchedSamplingParams,
+                   mu: jnp.ndarray, eos_ids: tuple = (),
+                   prev_tokens: Optional[jnp.ndarray] = None,
+                   prev_valid: Optional[jnp.ndarray] = None):
+    """Heterogeneous batched sampling: the full reference pipeline with
+    per-row parameters, one device dispatch, no [B, V] host fetch.
+
+    Returns (token [B] i32, new mu [B] f32). Rows with ``mirostat != 0``
+    route through the per-row mirostat samplers and update their mu;
+    greedy rows take the penalized argmax; everything else runs the
+    temperature → top-k → TFS → typical → top-p → categorical chain.
+    ``eos_ids`` (static) are suppressed on rows where ``bp.mask_eos``
+    (min-new-tokens)."""
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+    in_vocab = tuple(t for t in eos_ids if 0 <= t < V)
+    if in_vocab:
+        eos_mask = jnp.zeros((V,), bool).at[jnp.asarray(in_vocab)].set(True)
+        logits = jnp.where(bp.mask_eos[:, None] & eos_mask[None, :], NEG,
+                           logits)
+
+    if prev_tokens is not None:
+        if prev_valid is None:
+            prev_valid = jnp.ones(prev_tokens.shape, bool)
+        counts = token_counts(prev_tokens, prev_valid, V)
+        seen = counts > 0
+        rp = bp.repeat_penalty[:, None]
+        pen = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(seen & (rp != 1.0), pen, logits)
+        logits = logits - counts * bp.frequency_penalty[:, None] \
+            - seen.astype(logits.dtype) * bp.presence_penalty[:, None]
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(bp.temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    plain = _categorical(k1, _rowwise_filters(scaled, bp))
+
+    # mirostat (per-row tau/eta/mu); both variants computed branchlessly —
+    # B is small and the selects are trivial next to the [B, V] sorts.
+    # The scalar helpers broadcast [B] eta/tau cleanly; temperature=1
+    # because ``scaled`` is already temperature-divided.
+    st = SamplerState(mu=mu)
+
+    class _P:                      # per-row param view for the helpers
+        temperature = 1.0
+        mirostat_eta = bp.mirostat_eta
+        mirostat_tau = bp.mirostat_tau
+    m2_tok, m2_st = _mirostat_v2(scaled, k2, _P, st)
+    m1_tok, m1_st = _mirostat_v1(scaled, k3, _P, st)
+
+    tok = jnp.where(bp.mirostat == 2, m2_tok,
+                    jnp.where(bp.mirostat == 1, m1_tok, plain))
+    tok = jnp.where(bp.greedy, greedy_tok, tok)
+    new_mu = jnp.where(bp.mirostat == 2, m2_st.mu,
+                       jnp.where(bp.mirostat == 1, m1_st.mu, mu))
+    return tok, new_mu
+
+
 def _mirostat_v2(logits, key, params, state: SamplerState):
     """model_sample_token_mirostat_v2 (model_utils.cpp:896): truncate tokens
     with surprise > mu, sample, then mu -= eta * (surprise - tau)."""

@@ -300,6 +300,18 @@ def test_a8_stacked_lidx():
              stacked=True)
 
 
+def test_a8_scratch_mode_many_n_tiles():
+    """N/tn > 4 routes through the VMEM code-scratch flavor (codes
+    quantized once at the first N-tile, reused for the rest); must match
+    the same quantize_act_i8 oracle bit-for-bit. N=1280 → tn=256 →
+    5 N-tiles."""
+    from neural_tpu.ops.qmatmul import _pick_a8
+    cfg = QuantConfig(bits=4, group_size=128, sym=True, act_bits=8)
+    tn = _pick_a8(256, 512, 1280, cfg)[1]
+    assert 1280 // tn > 4, "shape no longer exercises scratch mode"
+    check_a8(cfg, M=256, K=512, N=1280)
+
+
 def test_a8_multiblock():
     check_a8(QuantConfig(bits=4, group_size=128, sym=False, act_bits=8),
              M=512, K=1024, N=512)
