@@ -284,7 +284,8 @@ def _rowwise_filters(logits, bp: BatchedSamplingParams):
 def sample_batched(logits: jnp.ndarray, key, bp: BatchedSamplingParams,
                    mu: jnp.ndarray, eos_ids: tuple = (),
                    prev_tokens: Optional[jnp.ndarray] = None,
-                   prev_valid: Optional[jnp.ndarray] = None):
+                   prev_valid: Optional[jnp.ndarray] = None,
+                   enable: tuple = ("filters", "mirostat")):
     """Heterogeneous batched sampling: the full reference pipeline with
     per-row parameters, one device dispatch, no [B, V] host fetch.
 
@@ -293,7 +294,14 @@ def sample_batched(logits: jnp.ndarray, key, bp: BatchedSamplingParams,
     greedy rows take the penalized argmax; everything else runs the
     temperature → top-k → TFS → typical → top-p → categorical chain.
     ``eos_ids`` (static) are suppressed on rows where ``bp.mask_eos``
-    (min-new-tokens)."""
+    (min-new-tokens).
+
+    ``enable`` (static) prunes work no row needs — the CALLER knows the
+    union of the batch's params: without "filters" every row is treated
+    as greedy (skips 3 [B, V] sorts + 1 argsort); without "mirostat" the
+    two mirostat samplers (another sort + top-k) are skipped and mu
+    passes through. Penalties are skipped by passing prev_tokens=None.
+    """
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
     in_vocab = tuple(t for t in eos_ids if 0 <= t < V)
@@ -314,31 +322,35 @@ def sample_batched(logits: jnp.ndarray, key, bp: BatchedSamplingParams,
             - seen.astype(logits.dtype) * bp.presence_penalty[:, None]
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tok, new_mu = greedy_tok, mu
 
     temp = jnp.maximum(bp.temperature, 1e-6)[:, None]
     scaled = logits / temp
     k1, k2, k3 = jax.random.split(key, 3)
 
-    plain = _categorical(k1, _rowwise_filters(scaled, bp))
+    if "filters" in enable:
+        plain = _categorical(k1, _rowwise_filters(scaled, bp))
+        tok = jnp.where(bp.greedy, greedy_tok, plain)
 
-    # mirostat (per-row tau/eta/mu); both variants computed branchlessly —
-    # B is small and the selects are trivial next to the [B, V] sorts.
-    # The scalar helpers broadcast [B] eta/tau cleanly; temperature=1
-    # because ``scaled`` is already temperature-divided.
-    st = SamplerState(mu=mu)
+    if "mirostat" in enable:
+        # mirostat (per-row tau/eta/mu); both variants computed
+        # branchlessly — B is small and the selects are trivial next to
+        # the [B, V] sorts. The scalar helpers broadcast [B] eta/tau
+        # cleanly; temperature=1 because ``scaled`` is already
+        # temperature-divided.
+        st = SamplerState(mu=mu)
 
-    class _P:                      # per-row param view for the helpers
-        temperature = 1.0
-        mirostat_eta = bp.mirostat_eta
-        mirostat_tau = bp.mirostat_tau
-    m2_tok, m2_st = _mirostat_v2(scaled, k2, _P, st)
-    m1_tok, m1_st = _mirostat_v1(scaled, k3, _P, st)
-
-    tok = jnp.where(bp.mirostat == 2, m2_tok,
-                    jnp.where(bp.mirostat == 1, m1_tok, plain))
-    tok = jnp.where(bp.greedy, greedy_tok, tok)
-    new_mu = jnp.where(bp.mirostat == 2, m2_st.mu,
-                       jnp.where(bp.mirostat == 1, m1_st.mu, mu))
+        class _P:                  # per-row param view for the helpers
+            temperature = 1.0
+            mirostat_eta = bp.mirostat_eta
+            mirostat_tau = bp.mirostat_tau
+        m2_tok, m2_st = _mirostat_v2(scaled, k2, _P, st)
+        m1_tok, m1_st = _mirostat_v1(scaled, k3, _P, st)
+        tok = jnp.where(bp.mirostat == 2, m2_tok,
+                        jnp.where(bp.mirostat == 1, m1_tok, tok))
+        tok = jnp.where(bp.greedy, greedy_tok, tok)
+        new_mu = jnp.where(bp.mirostat == 2, m2_st.mu,
+                           jnp.where(bp.mirostat == 1, m1_st.mu, mu))
     return tok, new_mu
 
 

@@ -29,7 +29,8 @@ from ..models.transformer import forward
 from ..runtime.kvcache import KVCache, init_cache
 from ..runtime.paged import (PagedKVCache, PageAllocator, init_paged_cache,
                              pages_needed)
-from ..runtime.sampling import SamplingParams, SamplerState, sample
+from ..runtime.sampling import (SamplingParams, SamplerState, sample,
+                                batch_params, sample_batched)
 from ..runtime.generate import prepare_params, sample_loop, pick_decode_blk
 
 
@@ -195,6 +196,28 @@ def _decode_all(params, tokens, lengths, cache, cfg: ModelConfig,
     logits, cache = forward(params, tokens, lengths, cache, cfg,
                             prompt_len=prompt_len)
     return logits[:, -1], cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "eos_ids", "enable"),
+         donate_argnums=(3,))
+def _decode_sample_all(params, tokens, lengths, cache, key, bp, mu, hist,
+                       valid, cfg: ModelConfig, eos_ids: tuple,
+                       enable: tuple, prompt_len=None):
+    """One decode step PLUS heterogeneous batched sampling in a single
+    executable: per-request SamplingParams ride as [B] device arrays
+    (sampling.batch_params) and only [B] token ids (+ mirostat mu) ever
+    leave the device — the [B, V] logits never do. This is the analog of
+    the reference's batched post-process (model_utils.h:533-536): its
+    server loop also fetches tokens, not logits (main_pybind.cpp:209-220).
+    On the tunneled runtime the [B, 32000] f32 fetch alone was the
+    difference between 131-150 tok/s served and 905+ on-device."""
+    params = prepare_params(params)
+    logits, cache = forward(params, tokens, lengths, cache, cfg,
+                            prompt_len=prompt_len)
+    tok, mu = sample_batched(logits[:, -1], key, bp, mu, eos_ids,
+                             prev_tokens=hist, prev_valid=valid,
+                             enable=enable)
+    return tok, mu, cache
 
 
 class Scheduler:
@@ -858,12 +881,26 @@ class Scheduler:
         # fill-hinted attention block size (two variants max → at most one
         # extra compile when the longest slot crosses the threshold)
         cfg = pick_decode_blk(self.cfg, int(self.lengths.max()) + 1)
-        logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
-                                         cfg, prompt_len=self._plens())
-        logits = np.asarray(logits, np.float32)
         items = [(s, q) for s, q in self.running.items() if q.num_beams == 1]
         beam_seqs = list({id(q): q for q in self.running.values()
                           if q.num_beams > 1}.values())
+        if not beam_seqs:
+            # fused decode+sample: ONE dispatch even with mixed per-request
+            # SamplingParams / mirostat / min-new-tokens; fetch [B] ints
+            # (+ [B] mu when mirostat runs), never the [B, V] logits
+            out = self._decode_sample_step(cfg, toks, lens)
+            for slot, seq in items:
+                self.lengths[slot] += 1
+                t = int(out[slot])
+                seq.output_ids.append(t)
+                self._next_tokens[slot] = t
+                self._maybe_finish(seq)
+            return
+        # beam groups advance host-side (joint top-k over W rows), so this
+        # path still fetches logits; plain rows ride along via _sample_many
+        logits, self.cache = _decode_all(self.params, toks, lens, self.cache,
+                                         cfg, prompt_len=self._plens())
+        logits = np.asarray(logits, np.float32)
         if items:
             toks = self._sample_many(logits[[s for s, _ in items]],
                                      [q for _, q in items])
@@ -875,6 +912,55 @@ class Scheduler:
                 self._maybe_finish(seq)
         for seq in beam_seqs:
             self._beam_advance(seq, logits)
+
+    #: inactive slots sample with this trivial config (argmax, no state) —
+    #: their tokens are discarded, so give them the cheapest row
+    _IDLE_SP = SamplingParams(greedy=True, repeat_penalty=1.0,
+                              repeat_last_n=0)
+
+    def _decode_sample_step(self, cfg: ModelConfig, toks, lens) -> np.ndarray:
+        """Run the fused _decode_sample_all step; returns [B] token ids."""
+        B = self.max_batch
+        sps, mask_eos = [], []
+        for s in range(B):
+            seq = self.running.get(s)
+            sps.append((seq.sampling or self.sampling) if seq
+                       else self._IDLE_SP)
+            mask_eos.append(bool(seq)
+                            and len(seq.output_ids) < seq.min_new_tokens)
+        active = [sps[s] for s in self.running]
+        enable = []
+        if any(not (sp.greedy or sp.temperature <= 0) for sp in active):
+            enable.append("filters")
+        if any(sp.mirostat for sp in active):
+            enable.append("mirostat")
+        penal = [s for s in self.running
+                 if sps[s].repeat_last_n > 0
+                 and (sps[s].repeat_penalty != 1.0
+                      or sps[s].frequency_penalty
+                      or sps[s].presence_penalty)]
+        hist = valid = None
+        if penal:
+            rl_max = max(sps[s].repeat_last_n for s in penal)
+            RL = -(-rl_max // 64) * 64          # pad → bounded compiles
+            h = np.zeros((B, RL), np.int32)
+            v = np.zeros((B, RL), bool)
+            for s in penal:
+                seq = self.running[s]
+                tail = (seq.prompt_ids + seq.output_ids)[-sps[s].repeat_last_n:]
+                if tail:
+                    h[s, -len(tail):] = tail
+                    v[s, -len(tail):] = True
+            hist, valid = jnp.asarray(h), jnp.asarray(v)
+        self.key, sub = jax.random.split(self.key)
+        tok, mu, self.cache = _decode_sample_all(
+            self.params, toks, lens, self.cache, sub, batch_params(
+                sps, mask_eos), jnp.asarray(self._mu), hist, valid, cfg,
+            self.cfg.eos_token_ids, tuple(enable),
+            prompt_len=self._plens())
+        if "mirostat" in enable:
+            self._mu = np.asarray(mu).copy()
+        return np.asarray(tok)
 
     def _maybe_finish(self, seq: Sequence):
         done = (len(seq.output_ids) >= seq.max_new_tokens
