@@ -61,14 +61,19 @@ def rand_quant_params(cfg, quant="q4_0", seed=0):
 
     from neural_tpu.core import PRESETS, quantize
     from neural_tpu.convert.hf import _add_aux, _shape_for, ffn_padded_size
+    from neural_tpu.convert.quant_registry import MIXED_PRESETS, QuantRegistry
 
-    qcfg = PRESETS[quant]
+    qcfg = MIXED_PRESETS.get(quant, PRESETS.get(quant)) \
+        if isinstance(quant, str) else quant
     key = jax.random.PRNGKey(seed)
 
-    @partial(jax.jit, static_argnames=("shape_k", "shape_n"))
-    def make(key, shape_k, shape_n):
+    @partial(jax.jit, static_argnames=("shape_k", "shape_n", "qc"))
+    def make(key, shape_k, shape_n, qc):
         w = jax.random.normal(key, (shape_k, shape_n), jnp.float32) * 0.02
-        return quantize(w, qcfg)
+        return quantize(w, qc)
+
+    def cfg_for(name):
+        return qcfg.resolve(name) if isinstance(qcfg, QuantRegistry) else qcfg
 
     layer_names = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"]
     per_layer = {n: [] for n in layer_names}
@@ -83,7 +88,7 @@ def rand_quant_params(cfg, quant="q4_0", seed=0):
                 N = Ip
             elif n == "w_down" and K == cfg.intermediate_size:
                 K = Ip
-            per_layer[n].append(make(k2, K, N))
+            per_layer[n].append(make(k2, K, N, cfg_for(n)))
         for n in norms:
             norms[n].append(jnp.ones((cfg.hidden_size,), jnp.float32))
     layers = {}
@@ -98,7 +103,8 @@ def rand_quant_params(cfg, quant="q4_0", seed=0):
         "embed": (jax.random.normal(k2, (cfg.vocab_size, cfg.hidden_size),
                                     jnp.bfloat16) * 0.02),
         "final_norm_w": jnp.ones((cfg.hidden_size,), jnp.float32),
-        "lm_head": make(k3, cfg.hidden_size, cfg.vocab_size),
+        "lm_head": make(k3, cfg.hidden_size, cfg.vocab_size,
+                        cfg_for("lm_head")),
     }
     _add_aux(params, cfg)
     return params

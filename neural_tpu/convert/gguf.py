@@ -325,8 +325,9 @@ class GGUFReader:
 # ---------------------------------------------------------------------------
 # Writer (F32/F16/BF16 + ALL legacy ggml quant formats Q4_0/Q4_1/Q5_0/
 # Q5_1/Q8_0 — the full set the reference's model_quantize emits,
-# quant_utils.cpp:357 ggml_quantize — plus the dominant llama.cpp
-# K-quant export types Q4_K/Q6_K)
+# quant_utils.cpp:357 ggml_quantize — plus the FULL K-quant export set
+# Q2_K/Q3_K/Q4_K/Q5_K/Q6_K, matching the reference's special K-quant
+# quantize path, model_quantize_special quant_utils.h:39)
 # ---------------------------------------------------------------------------
 
 
@@ -452,6 +453,108 @@ def _pack_q4_k(w: np.ndarray) -> bytes:
     return blk.tobytes()
 
 
+def _pack_q2_k(w: np.ndarray) -> bytes:
+    """f32 → ggml Q2_K super-blocks (RTN; 16 groups of 16, 2-bit codes
+    with 4-bit sub-scale/min × fp16 d/dmin: w ≈ d·sc·q − dmin·m).
+    Exact inverse of the reader's Q2_K branch."""
+    flat = w.reshape(-1, QK_K).astype(np.float32)
+    nb = len(flat)
+    g = flat.reshape(nb, 16, 16)
+    gmin = np.maximum(-g.min(axis=2), 0.0)
+    gscale = np.maximum(g.max(axis=2) + gmin, 0.0) / 3.0
+    d = gscale.max(axis=1) / 15.0
+    dmin = gmin.max(axis=1) / 15.0
+    sc4 = np.clip(np.round(gscale / np.where(d == 0, 1, d)[:, None]), 0, 15)
+    mn4 = np.clip(np.round(gmin / np.where(dmin == 0, 1, dmin)[:, None]),
+                  0, 15)
+    eff_s = d[:, None, None] * sc4[:, :, None]
+    eff_m = dmin[:, None, None] * mn4[:, :, None]
+    q = np.clip(np.round((g + eff_m) / np.where(eff_s == 0, 1.0, eff_s)),
+                0, 3).astype(np.int32)
+    # element e = 128*c + 32*s + l → qs[c*32 + l] bits 2s (reader order)
+    qe = q.reshape(nb, 2, 4, 32)
+    qs = (qe[:, :, 0] | (qe[:, :, 1] << 2) | (qe[:, :, 2] << 4)
+          | (qe[:, :, 3] << 6)).reshape(nb, 64)
+    blk = np.empty((nb, _BLOCK_BYTES[GGML_Q2_K]), np.uint8)
+    blk[:, :16] = (sc4.astype(np.int32)
+                   | (mn4.astype(np.int32) << 4)).astype(np.uint8)
+    blk[:, 16:80] = qs.astype(np.uint8)
+    blk[:, 80:82] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    blk[:, 82:84] = dmin.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    return blk.tobytes()
+
+
+def _pack_q3_k(w: np.ndarray) -> bytes:
+    """f32 → ggml Q3_K super-blocks (RTN; 16 groups of 16, centered 3-bit
+    codes −4..3 × signed 6-bit sub-scales × fp16 d). Exact inverse of the
+    reader's Q3_K branch (hmask bit CLEAR ⇒ −4 offset)."""
+    flat = w.reshape(-1, QK_K).astype(np.float32)
+    nb = len(flat)
+    g = flat.reshape(nb, 16, 16)
+    # centered −4..3 codes: the positive side only reaches 3 steps
+    gscale = np.maximum(g.max(axis=2) / 3.0, g.min(axis=2) / -4.0)
+    gscale = np.maximum(gscale, 0.0)
+    d = gscale.max(axis=1) / 31.0
+    ssc = np.clip(np.round(gscale / np.where(d == 0, 1, d)[:, None]), 0, 31)
+    eff = d[:, None, None] * ssc[:, :, None]
+    q = np.clip(np.round(g / np.where(eff == 0, 1.0, eff)),
+                -4, 3).astype(np.int32)
+    L = (q.reshape(nb, QK_K) + 4)                   # 0..7
+    low, hbit = L & 3, L >> 2
+    le = low.reshape(nb, 2, 4, 32)
+    qs = (le[:, :, 0] | (le[:, :, 1] << 2) | (le[:, :, 2] << 4)
+          | (le[:, :, 3] << 6)).reshape(nb, 64)
+    hb = hbit.reshape(nb, 2, 4, 32)                 # bit 4c+s of hmask[l]
+    hm = np.zeros((nb, 32), np.int32)
+    for c in range(2):
+        for s in range(4):
+            hm |= hb[:, c, s] << (4 * c + s)
+    sc = (ssc + 32).astype(np.int32)                # stored 0..63
+    sb = np.empty((nb, 12), np.int32)
+    sb[:, 0:4] = (sc[:, 0:4] & 0xF) | ((sc[:, 8:12] & 0xF) << 4)
+    sb[:, 4:8] = (sc[:, 4:8] & 0xF) | ((sc[:, 12:16] & 0xF) << 4)
+    sb[:, 8:12] = ((sc[:, 0:4] >> 4) | ((sc[:, 4:8] >> 4) << 2)
+                   | ((sc[:, 8:12] >> 4) << 4) | ((sc[:, 12:16] >> 4) << 6))
+    blk = np.empty((nb, _BLOCK_BYTES[GGML_Q3_K]), np.uint8)
+    blk[:, :32] = hm.astype(np.uint8)
+    blk[:, 32:96] = qs.astype(np.uint8)
+    blk[:, 96:108] = sb.astype(np.uint8)
+    blk[:, 108:110] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    return blk.tobytes()
+
+
+def _pack_q5_k(w: np.ndarray) -> bytes:
+    """f32 → ggml Q5_K super-blocks (Q4_K's 6-bit sc/min structure with
+    5-bit codes; high bits in qh[32]). Exact inverse of the reader."""
+    flat = w.reshape(-1, QK_K).astype(np.float32)
+    nb = len(flat)
+    g = flat.reshape(nb, 8, 32)
+    gmin = np.maximum(-g.min(axis=2), 0.0)
+    gscale = np.maximum(g.max(axis=2) + gmin, 0.0) / 31.0
+    d = gscale.max(axis=1) / 63.0
+    dmin = gmin.max(axis=1) / 63.0
+    sc6 = np.clip(np.round(gscale / np.where(d == 0, 1, d)[:, None]), 0, 63)
+    mn6 = np.clip(np.round(gmin / np.where(dmin == 0, 1, dmin)[:, None]),
+                  0, 63)
+    eff_s = d[:, None, None] * sc6[:, :, None]
+    eff_m = dmin[:, None, None] * mn6[:, :, None]
+    q = np.clip(np.round((g + eff_m) / np.where(eff_s == 0, 1.0, eff_s)),
+                0, 31).astype(np.int32)
+    qc = q.reshape(nb, 4, 2, 32)                    # [chunk, lo/hi, byte]
+    qs = ((qc[:, :, 0] & 0xF) | ((qc[:, :, 1] & 0xF) << 4)).reshape(nb, 128)
+    qh = np.zeros((nb, 32), np.int32)
+    for c in range(4):
+        qh |= (qc[:, c, 0] >> 4) << (2 * c)
+        qh |= (qc[:, c, 1] >> 4) << (2 * c + 1)
+    blk = np.empty((nb, _BLOCK_BYTES[GGML_Q5_K]), np.uint8)
+    blk[:, 0:2] = d.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    blk[:, 2:4] = dmin.astype(np.float16).reshape(-1, 1).view(np.uint8)
+    blk[:, 4:16] = _pack_scmin_k4(sc6.astype(np.int32), mn6.astype(np.int32))
+    blk[:, 16:48] = qh.astype(np.uint8)
+    blk[:, 48:176] = qs.astype(np.uint8)
+    return blk.tobytes()
+
+
 class GGUFWriter:
     def __init__(self, path: str, align: int = 32):
         self.path = path
@@ -493,8 +596,14 @@ class GGUFWriter:
             data = _pack_q5_01(w, asym=True)
         elif ggml_type == GGML_Q8_0:
             data = _pack_q8_0(w)
+        elif ggml_type == GGML_Q2_K:
+            data = _pack_q2_k(w)
+        elif ggml_type == GGML_Q3_K:
+            data = _pack_q3_k(w)
         elif ggml_type == GGML_Q4_K:
             data = _pack_q4_k(w)
+        elif ggml_type == GGML_Q5_K:
+            data = _pack_q5_k(w)
         elif ggml_type == GGML_Q6_K:
             data = _pack_q6_k(w)
         else:

@@ -73,4 +73,23 @@ MIX_INT2_INT4 = QuantRegistry(
     default=QuantConfig(bits=4, group_size=32, sym=True),
 )
 
-MIXED_PRESETS = {"mix_int2_int4": MIX_INT2_INT4}
+# The DECODE-BYTES recipe (round 5): native-int2 g32 sym on the FFN
+# gate/up projections (the bulk of a llama layer's bytes, and the most
+# quantization-tolerant — measured gate PPL ratio 1.0871 vs q4_j's
+# 1.0455, scripts/exp_sub4_recipes.py), q4_j (int4 g128 sym + a8 prefill)
+# everywhere else. ~83 MB/layer streamed on a 7B vs q4_j's ~101 (the
+# int2 tensors ride the pltpu.bitcast uint8→int2 hardware-convert kernel
+# at 4 codes/byte — unlike int3, whose codes must stream in int4
+# containers). The older mix_int2_int4 mirror of the reference recipe
+# uses g16 ASYM int2, whose scale+zp metadata cancels the byte win
+# (2 + 2·16/16 = 4 b/w); sym g32 keeps 2.5 b/w.
+MIX_I2_FFN = QuantRegistry(
+    rules=[
+        ("w_gate", QuantConfig(bits=2, group_size=32, sym=True)),
+        ("w_up", QuantConfig(bits=2, group_size=32, sym=True)),
+    ],
+    default=QuantConfig(bits=4, group_size=128, sym=True, act_bits=8),
+)
+
+MIXED_PRESETS = {"mix_int2_int4": MIX_INT2_INT4,
+                 "mix_i2_ffn": MIX_I2_FFN}

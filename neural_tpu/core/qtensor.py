@@ -116,6 +116,16 @@ def unpack_codes(planes: Tuple[jnp.ndarray, ...], bits: int, chunk: int) -> jnp.
     return code
 
 
+def npack_codes_per_byte(bits: int) -> int:
+    """Codes per byte in the native-pack at-rest layout: int2 codes pack 4
+    per byte (2-bit two's-complement fields, LSB first — the
+    ``pltpu.bitcast(uint8 → int2)`` order, hardware-verified round 4/5);
+    3- and 4-bit codes pack 2 per byte as int4 nibbles (a 3-bit code in a
+    nibble container: the hardware int4 convert is ~3-7x faster than VPU
+    bit-plane unpack, worth the 33% extra bytes — see to_native)."""
+    return 4 if bits == 2 else 2
+
+
 def pack_chunk(cfg: QuantConfig, K: int) -> int:
     """Chunk-locality of the bit-plane packing: the scale group size, or a
     fixed 32 for per-channel quantization (so K-tiling stays possible)."""
@@ -150,8 +160,10 @@ class QTensor:
         if self.cfg.kind.startswith("fp8") or \
                 self.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
             return self.planes[0].shape[-2]
-        if self.cfg.native_pack:        # u8 rows hold 2 nibble codes each
-            return self.planes[0].shape[-2] * 2
+        if self.cfg.native_pack:
+            # u8 rows hold 2 nibble codes (3-4 bit) or 4 2-bit fields
+            return self.planes[0].shape[-2] * npack_codes_per_byte(
+                self.cfg.bits)
         p0 = bit_planes(self.cfg.bits)[0]
         return self.planes[0].shape[-2] * (8 // p0) if p0 != 8 else \
             self.planes[0].shape[-2]
@@ -289,13 +301,16 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jnp.ndarray:
             if cfg.sym:
                 codes = codes + (1 << (cfg.bits - 1))  # back to unsigned
         elif cfg.native_pack:
-            # u8 bytes hold two CENTERED int4 nibbles (low first);
-            # sign-extend — same domain as to_native's int4 planes (sym
-            # codes re-shift below; asym zeros are stored shifted)
-            b = qt.planes[0].astype(jnp.int32)           # [K/2, N]
-            lo = ((b & 0xF) ^ 8) - 8
-            hi = (((b >> 4) & 0xF) ^ 8) - 8
-            codes = jnp.stack([lo, hi], axis=1).reshape(K, N)
+            # u8 bytes hold CENTERED sub-byte fields (LSB first);
+            # sign-extend — same domain as to_native's planes (sym codes
+            # re-shift below; asym zeros are stored shifted)
+            b = qt.planes[0].astype(jnp.int32)           # [K/cpb, N]
+            if cfg.bits == 2:
+                fields = [(((b >> s) & 0x3) ^ 2) - 2 for s in (0, 2, 4, 6)]
+            else:
+                fields = [((b & 0xF) ^ 8) - 8,
+                          (((b >> 4) & 0xF) ^ 8) - 8]
+            codes = jnp.stack(fields, axis=1).reshape(K, N)
             if cfg.sym:
                 codes = codes + (1 << (cfg.bits - 1))
         else:
@@ -350,6 +365,13 @@ def to_native(qt: QTensor) -> QTensor:
         return qt
     if cfg.bits < 2:
         return qt
+    if cfg.bits == 2:
+        # int2 has its own hardware path (pltpu.bitcast uint8 → int2 +
+        # native convert): the 2-bit byte-packed form streams HALF the
+        # bytes of an int4 container and is jit-boundary-safe — use it
+        # for the in-jit conversion too (the packing is plain uint8/int32
+        # arithmetic, fine under jit).
+        return to_native_packed(qt)
     chunk = pack_chunk(cfg, qt.K)
     target = jnp.int4 if cfg.bits <= 4 else jnp.int8
     shift = 1 << (cfg.bits - 1)
@@ -403,8 +425,11 @@ def to_native_packed(qt: QTensor) -> QTensor:
 
     def repack2d(*planes):
         codes = unpack_codes(planes, cfg.bits, chunk)    # int32 [K, N]
+        if cfg.bits == 2:
+            f = (codes - shift) & 0x3                    # two's-complement
+            return (f[0::4] | (f[1::4] << 2) | (f[2::4] << 4)
+                    | (f[3::4] << 6)).astype(jnp.uint8)  # [K/4, N]
         nib = (codes - shift) & 0xF                      # two's-complement
-        K2 = nib.shape[0] // 2
         lo, hi = nib[0::2], nib[1::2]
         return (lo | (hi << 4)).astype(jnp.uint8)        # [K/2, N]
 

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.dtypes import QuantConfig
-from ..core.qtensor import QTensor, plane_shifts, unpack_codes, pack_chunk
+from ..core.qtensor import (QTensor, npack_codes_per_byte, plane_shifts,
+                            unpack_codes, pack_chunk)
 
 
 def _cdiv(a, b):
@@ -60,6 +61,20 @@ def _bitcast4(tile_u8: jnp.ndarray) -> jnp.ndarray:
     return pltpu.bitcast(tile_u8, jnp.int4)
 
 
+def _bitcast2(tile_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [R, N] → int2 [4R, N] in-register reinterpret: row r becomes
+    rows 4r..4r+3, LSB 2-bit field first (hardware-verified,
+    scripts/exp_int2_r4.py: byte 0b00000001 → rows 1, 0, 0, 0; 0b10 →
+    -2, 0, 0, 0). The native-int2 decode path streams HALF the weight
+    bytes of int4 containers — the TPU materialization of the
+    reference's production int2&int4 mixed recipe (core/README.md:252)."""
+    return pltpu.bitcast(tile_u8, jnp.int2)
+
+
+def _bitcast_npack(tile_u8: jnp.ndarray, bits: int) -> jnp.ndarray:
+    return _bitcast2(tile_u8) if bits == 2 else _bitcast4(tile_u8)
+
+
 def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
                   group_size: int, chunk: int,
                   out_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -69,12 +84,12 @@ def _dequant_tile(plane_tiles, scales_tile, zeros_tile, cfg: QuantConfig,
     unpacking is the chunk-local scheme from qtensor, shared with the oracle.
     """
     if cfg.native_pack:
-        plane_tiles = [_bitcast4(plane_tiles[0])]
+        plane_tiles = [_bitcast_npack(plane_tiles[0], cfg.bits)]
     if cfg.kind.startswith("fp8"):
         vals = plane_tiles[0].astype(jnp.float32)
-    elif plane_tiles[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
-        # native sub-byte plane: Mosaic's hardware int4 convert (no VPU
-        # shift/mask unpacking) — measured ~1.5x the packed-u8 path
+    elif plane_tiles[0].dtype in (jnp.int4, jnp.uint4, jnp.int8, jnp.int2):
+        # native sub-byte plane: Mosaic's hardware int4/int2 convert (no
+        # VPU shift/mask unpacking) — measured ~1.5x the packed-u8 path
         vals = plane_tiles[0].astype(jnp.float32)
         TK, TN = vals.shape
         vg = vals.reshape(TK // group_size, group_size, TN)
@@ -231,8 +246,8 @@ def _qmm_a8_kernel(*refs, cfg: QuantConfig, group_size: int, chunk: int,
 
     pt = plane_tiles[0]
     if cfg.native_pack:
-        # centered int4 nibbles at rest: reinterpret and widen to int8
-        w8 = _bitcast4(pt).astype(jnp.int8)
+        # centered sub-byte codes at rest: reinterpret and widen to int8
+        w8 = _bitcast_npack(pt, cfg.bits).astype(jnp.int8)
     elif pt.dtype == jnp.uint8:
         codes = unpack_codes(tuple(plane_tiles), cfg.bits, chunk)  # int32
         if cfg.sym:
@@ -331,7 +346,7 @@ def _qmatmul_a8_pallas(x_i8, sa, qt: QTensor, tm, tn, tk, gd, out_dtype,
 
     in_specs = [pl.BlockSpec((tm, tk), xmap)]
     if cfg.native_pack:
-        pack_rows = [tk // 2]
+        pack_rows = [tk // npack_codes_per_byte(cfg.bits)]
     elif qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8):
         pack_rows = [tk]
     else:
@@ -551,7 +566,7 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
 
     in_specs = [pl.BlockSpec((tm, tk), xmap)]
     if cfg.native_pack:
-        pack_rows = [tk // 2]
+        pack_rows = [tk // npack_codes_per_byte(cfg.bits)]
     elif cfg.kind.startswith("fp8") or \
             qt.planes[0].dtype in (jnp.int4, jnp.uint4):
         pack_rows = [tk]
@@ -602,8 +617,8 @@ def _qmatmul_pallas(x, qt: QTensor, tm, tn, tk, out_dtype, interpret,
 
 
 def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
-                 stacked: bool, npack: bool = False, m1: bool = False,
-                 fuse: tuple = ()):
+                 stacked: bool, npack: bool = False, npack_bits: int = 4,
+                 m1: bool = False, fuse: tuple = ()):
     """Native-int4 decode kernel: one full-K stripe per grid step.
 
     Measured on v5e (K=N=4096, q4_0): the hardware int4→f32 convert plus an
@@ -695,14 +710,14 @@ def _qmm4_kernel(*refs, group_size: int, has_zeros: bool, out_dtype,
         idx += 1
     out_ref = refs[idx]
 
-    wu = tile(w_ref)                                 # [K(/2), tn]
-    if npack:  # uint8 at rest → int4 reinterpret (zero unpack cost)
-        w = _bitcast4(wu).astype(jnp.float32)
+    wu = tile(w_ref)                                 # [K(/cpb), tn]
+    if npack:  # uint8 at rest → int4/int2 reinterpret (zero unpack cost)
+        w = _bitcast_npack(wu, npack_bits).astype(jnp.float32)
     else:
         w = wu.astype(jnp.float32)                   # [K, tn]
     s = tile(s_ref).astype(jnp.float32)              # [G, tn]
     tn = wu.shape[1]
-    K = wu.shape[0] * (2 if npack else 1)
+    K = wu.shape[0] * (npack_codes_per_byte(npack_bits) if npack else 1)
     G = s.shape[0]
     xf = x_val
     TMk = xf.shape[0]
@@ -857,8 +872,9 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
     if norm_w is not None:
         in_specs.append(pl.BlockSpec((1, K), lambda i, j, *a: (0, 0)))
         operands.append(norm_w.astype(jnp.float32).reshape(1, K))
+    cpb = npack_codes_per_byte(qt.cfg.bits)
     in_specs += [
-        pl.BlockSpec((*lead, K // 2 if npack else K, tn),
+        pl.BlockSpec((*lead, K // cpb if npack else K, tn),
                      wmap(lambda i, j: (0, j))),
         pl.BlockSpec((*lead, G, tn), wmap(lambda i, j: (0, j))),
     ]
@@ -883,8 +899,8 @@ def _qmatmul4_pallas(x, qt: QTensor, tm, tn, out_dtype, interpret, lidx=None,
         operands.append(res.reshape(Mout, N))
     kernel = functools.partial(
         _qmm4_kernel, group_size=g, has_zeros=has_zeros,
-        out_dtype=out_dtype, stacked=stacked, npack=npack, m1=m1,
-        fuse=fuse)
+        out_dtype=out_dtype, stacked=stacked, npack=npack,
+        npack_bits=qt.cfg.bits, m1=m1, fuse=fuse)
     bytes_accessed = (x.size * x.dtype.itemsize + qt.nbytes()
                       + Mout * N * np.dtype(out_dtype).itemsize)
     # Roofline note (round-4 measured): with the m1 kernel the 7B decode
@@ -986,7 +1002,9 @@ def qmatmul_fused(x, qt: QTensor, out_dtype=None, lidx=None, norm=None,
         lidx = None
     elif lidx is None:
         return None
-    code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4
+    code_bits = (8 if qt.planes[0].dtype == jnp.int8 else
+                 8 // npack_codes_per_byte(qt.cfg.bits)
+                 if qt.cfg.native_pack else 4)
     dec = _pick_decode_tiles(M, K, qt.N, qt.group_size, code_bits,
                              npack=qt.cfg.native_pack)
     if dec is None:
@@ -1030,11 +1048,14 @@ def qmatmul_native(x: jnp.ndarray, qt: QTensor, out_dtype=None) -> jnp.ndarray:
     g = qt.group_size
     codes = qt.planes[0]
     if qt.cfg.native_pack:
-        # XLA-side nibble expansion of the at-rest uint8 plane
+        # XLA-side field expansion of the at-rest uint8 plane (nibbles,
+        # or 4 2-bit fields for int2 — LSB first, matching _bitcast2)
         b = codes.astype(jnp.int32)
-        lo = ((b & 0xF) ^ 8) - 8
-        hi = (((b >> 4) & 0xF) ^ 8) - 8
-        codes = jnp.stack([lo, hi], axis=1).reshape(K, N)
+        if qt.cfg.bits == 2:
+            fields = [(((b >> s) & 0x3) ^ 2) - 2 for s in (0, 2, 4, 6)]
+        else:
+            fields = [((b & 0xF) ^ 8) - 8, (((b >> 4) & 0xF) ^ 8) - 8]
+        codes = jnp.stack(fields, axis=1).reshape(K, N)
     wf = codes.astype(jnp.bfloat16).reshape(K // g, g, N)
     if qt.zeros is not None:
         wf = wf - qt.zeros.astype(jnp.bfloat16)[:, None, :]
@@ -1205,7 +1226,9 @@ def qmatmul(x: jnp.ndarray, qt: QTensor, out_dtype=None,
             *lead, qt.N)
     if qt.planes[0].dtype in (jnp.int4, jnp.uint4, jnp.int8) \
             or qt.cfg.native_pack:
-        code_bits = 8 if qt.planes[0].dtype == jnp.int8 else 4
+        code_bits = (8 if qt.planes[0].dtype == jnp.int8 else
+                     8 // npack_codes_per_byte(qt.cfg.bits)
+                     if qt.cfg.native_pack else 4)
         use_pallas = (backend == "tpu" or force == "pallas"
                       or interpret) and force != "xla"
         dec = _pick_decode_tiles(M, K, qt.N, qt.group_size, code_bits,

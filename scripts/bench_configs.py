@@ -244,6 +244,57 @@ def cfg4_qwen_oddbit():
     return {"config": "qwen7b_oddbit_streaming", **out}
 
 
+def cfg6_paged_prefill():
+    """Paged vs slots prefill at 2k tokens (round-5: attend_paged's T>1
+    path now routes the gathered pages through the Pallas flash_prefill
+    kernel instead of materializing the [B, Hkv, G, T, S] scores via
+    attend_xla — the reference's fused-prefill win, docs/
+    fused_attention.md). Target: paged within ~10% of slots."""
+    from neural_tpu.models.transformer import forward
+    from neural_tpu.runtime.paged import init_paged_cache, PagedKVCache
+
+    cfg = LLAMA2_7B
+    params = rand_quant_params(cfg, quant="q4_j")
+    T = 2048 if not os.environ.get("NTPU_BENCH_TINY") else 256
+    S, ps = T, 256
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, T), np.int32))
+    start = jnp.zeros((1,), jnp.int32)
+
+    def timed(mk_cache):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(params, tokens, n):
+            def body(i, tok):
+                logits, _ = forward(params, tok, start, mk_cache(), cfg,
+                                    logits_dtype=jnp.bfloat16)
+                bump = (logits[0, -1, :1] * 0).astype(jnp.int32)
+                return tok.at[0, 0].set(tok[0, 0] + bump[0])
+            return jax.lax.fori_loop(0, n, body, tokens)[0, 0]
+
+        def t(n):
+            fetch(chain(params, tokens, n))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.time()
+                fetch(chain(params, tokens, n))
+                best = min(best, time.time() - t0)
+            return best
+        return (t(3) - t(1)) / 2 * 1e3
+
+    slots_ms = timed(lambda: init_cache(cfg, 1, S, jnp.bfloat16))
+    maxp = S // ps
+    table = jnp.arange(maxp, dtype=jnp.int32).reshape(1, maxp)
+
+    def mk_paged():
+        pool = init_paged_cache(cfg, 1, S, page_size=ps, dtype=jnp.bfloat16)
+        return PagedKVCache(*pool[:4], table)
+    paged_ms = timed(mk_paged)
+    return {"config": "paged_prefill_parity",
+            "slots_prefill_ms": round(slots_ms, 2),
+            "paged_prefill_ms": round(paged_ms, 2),
+            "paged_over_slots": round(paged_ms / slots_ms, 3)}
+
+
 def gate_results(lines, base_path, tol=0.15):
     """Compare measured config rows against the committed baseline
     (baselines/configs_tpu.json): *_ms keys fail when >tol above the
@@ -292,7 +343,8 @@ def main():
             bench.LLAMA2_7B, **dict(tiny, n_kv_heads=4))
         globals()["LLAMA2_7B"] = bench.LLAMA2_7B
     fns = {"mistral-gptq": cfg2_mistral_gptq, "server": cfg3_server,
-           "qwen-oddbit": cfg4_qwen_oddbit, "alibi-sliding": cfg5_alibi_sliding}
+           "qwen-oddbit": cfg4_qwen_oddbit, "alibi-sliding": cfg5_alibi_sliding,
+           "paged-prefill": cfg6_paged_prefill}
     if len(args.configs) > 1 and not os.environ.get("NTPU_SUBPROC"):
         # one fresh process per config: a prior 7B model's HBM
         # fragmentation OOMs the next one on the 16 GB chip

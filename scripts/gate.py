@@ -43,7 +43,8 @@ LAT_BASE = os.path.join(ROOT, "baselines", "latency_tpu.json")
 # gated quantization configs: preset → max allowed drift of the
 # (quantized PPL / fp32 PPL) ratio vs the committed baseline ratio
 GATED = ["q4_0", "q4_j", "int8", "int4_g128_asym", "int3", "int5",
-         "mix_int2_int4"]   # per-tensor mixed registry (quant_registry.py)
+         "mix_int2_int4",   # per-tensor mixed registry (quant_registry.py)
+         "mix_i2_ffn"]      # native-int2 FFN decode-bytes recipe (round 5)
 
 
 AMP = 8.0   # lm_head amplification: an untrained model's predictive

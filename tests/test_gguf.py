@@ -294,9 +294,12 @@ def test_kquant_qtensor_lossless_repack(tt, tmp_path):
     r.close()
 
 
-@pytest.mark.parametrize("tt", [GGML_Q4_K, GGML_Q6_K])
+@pytest.mark.parametrize("tt", [GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K,
+                                GGML_Q6_K])
 def test_kquant_write_read_roundtrip(tt, tmp_path):
-    """Our RTN K-quant encoders: reconstruction error bounded by one step."""
+    """Our RTN K-quant encoders (now the FULL set the reference's
+    model_quantize_special emits, quant_utils.h:39): reconstruction error
+    bounded by one quantization step per group."""
     rng = np.random.default_rng(7)
     a = rng.standard_normal((8, 512)).astype(np.float32) * 0.05
     p = str(tmp_path / "w.gguf")
@@ -306,13 +309,41 @@ def test_kquant_write_read_roundtrip(tt, tmp_path):
     w.write()
     r = GGUFReader(p)
     got = r.dequantize("t")
-    g = 32 if tt == GGML_Q4_K else 16
-    steps = (a.reshape(-1, g).max(1) - a.reshape(-1, g).min(1)) / (
-        15 if tt == GGML_Q4_K else 62)
+    g = {GGML_Q2_K: 16, GGML_Q3_K: 16, GGML_Q4_K: 32, GGML_Q5_K: 32,
+         GGML_Q6_K: 16}[tt]
+    levels = {GGML_Q2_K: 3, GGML_Q3_K: 7, GGML_Q4_K: 15, GGML_Q5_K: 31,
+              GGML_Q6_K: 62}[tt]
+    steps = (a.reshape(-1, g).max(1) - a.reshape(-1, g).min(1)) / levels
     err = np.abs(got - a).reshape(-1, g)
-    # one quantization step per group, plus 6-bit scale rounding slack
+    # one quantization step per group, plus sub-scale rounding slack
     assert np.all(err <= steps[:, None] * 1.2 + 1e-5), err.max()
     r.close()
+
+
+@pytest.mark.parametrize("tt", [GGML_Q2_K, GGML_Q3_K, GGML_Q5_K])
+def test_kquant_write_exact_code_roundtrip(tt, tmp_path):
+    """Bit-level check: writing then READING must reproduce the encoder's
+    own codes/scales exactly (write→read→write is a fixed point). Catches
+    packing-order bugs the error bound can't."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((4, 256)).astype(np.float32)
+    p1 = str(tmp_path / "w1.gguf")
+    w = GGUFWriter(p1)
+    w.add_kv("general.architecture", "llama")
+    w.add_tensor("t", a, tt)
+    w.write()
+    r = GGUFReader(p1)
+    deq1 = r.dequantize("t")
+    r.close()
+    p2 = str(tmp_path / "w2.gguf")
+    w2 = GGUFWriter(p2)
+    w2.add_kv("general.architecture", "llama")
+    w2.add_tensor("t", deq1, tt)      # re-encode the dequantized values
+    w2.write()
+    r2 = GGUFReader(p2)
+    deq2 = r2.dequantize("t")
+    r2.close()
+    np.testing.assert_allclose(deq2, deq1, rtol=2e-3, atol=2e-3)
 
 
 def test_export_load_q6_k_end_to_end(tmp_path):

@@ -1,0 +1,53 @@
+"""REAL-process multi-host rehearsal (round-5, VERDICT item 6).
+
+Launches 2 OS processes that bootstrap jax.distributed over a local
+coordinator (the DCN bringup path — the reference's MPI_Init + oneCCL KVS
+broadcast, parallel_context.cpp:76-96) and run a dp-across-process,
+tp-within-process sharded model step. This exercises the one thing the
+single-process 8-virtual-device dryrun cannot: collectives and shardings
+that actually cross OS process boundaries. Each worker self-validates its
+dp rows against an unsharded local reference (multihost_worker.py).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_sharded_step():
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)            # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err[-3000:]}"
+    marks = [line for rc, out, _ in outs for line in out.splitlines()
+             if line.startswith("MULTIHOST_OK")]
+    assert len(marks) == 2, outs
+    # both ranks agree on the reference checksum (same weights, same data)
+    assert marks[0].split()[2] == marks[1].split()[2], marks

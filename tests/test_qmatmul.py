@@ -348,7 +348,14 @@ def test_native_oddbit_remap(bits, sym):
     x = mk(1, (4, 256), 1.0)
     qt = quantize(w, cfg)
     qtn = to_native(qt)
-    assert qtn.planes[0].dtype == (jnp.int4 if bits <= 4 else jnp.int8)
+    if bits == 2:
+        # int2 converts to its own native-pack byte layout (4 codes/byte,
+        # pltpu.bitcast path) — HALF the streamed bytes of an int4
+        # container, jit-boundary safe
+        assert qtn.cfg.native_pack and qtn.planes[0].dtype == jnp.uint8
+        assert qtn.planes[0].shape[0] == qt.K // 4
+    else:
+        assert qtn.planes[0].dtype == (jnp.int4 if bits <= 4 else jnp.int8)
     # exact code remap: only the documented bf16 scale downcast may differ
     np.testing.assert_allclose(
         np.asarray(dequantize(qt)), np.asarray(dequantize(qtn)),
@@ -370,7 +377,7 @@ def test_decode4_many_groups_fallback():
 
 
 @pytest.mark.parametrize("bits,sym", [(4, True), (4, False), (3, True),
-                                      (2, False)])
+                                      (2, False), (2, True)])
 def test_native_pack_matmul_matches_oracle(bits, sym):
     """At-rest uint8 native-pack storage (in-kernel uint8→int4 bitcast):
     the decode and prefill kernels must match the dequant oracle built
@@ -519,3 +526,20 @@ def test_decode_m1_win8_matches_oracle():
         assert out.shape == (1, N)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-2, rtol=2e-2), (cfgq, conv)
+
+
+def test_native_pack_int2_cpu_fallback():
+    """qmatmul_native (the non-Pallas consumer of at-rest native-pack
+    planes) must unpack int2's 4-fields-per-byte layout — round-5 verify
+    caught it reshaping 2 nibbles per byte and crashing."""
+    from neural_tpu.core.qtensor import to_native_packed, matmul_ref
+    rng = np.random.default_rng(3)
+    K, N = 128, 128
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32))
+    qt = to_native_packed(quantize(w, QuantConfig(bits=2, sym=True,
+                                                  group_size=32)))
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    ref = matmul_ref(x, qt)
+    out = qmatmul(x, qt, force="xla")          # CPU fallback path
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
