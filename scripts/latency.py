@@ -152,7 +152,10 @@ def main():
     else:
         from bench import rand_quant_params, LLAMA2_7B
         cfg = LLAMA2_7B
-        params = rand_quant_params(cfg)
+        # q4_j: the headline precision (bench.py) — its act_bits=8 routes
+        # prefill through the w4a8 kernel, so first_token_ms reflects the
+        # shipped TTFT path (round 5; was q4_0/act16 before)
+        params = rand_quant_params(cfg, quant="q4_j")
 
     results = []
     for b in map(int, args.batches.split(",")):
