@@ -63,8 +63,13 @@ def rand_quant_params(cfg, quant="q4_0", seed=0):
     from neural_tpu.convert.hf import _add_aux, _shape_for, ffn_padded_size
     from neural_tpu.convert.quant_registry import MIXED_PRESETS, QuantRegistry
 
-    qcfg = MIXED_PRESETS.get(quant, PRESETS.get(quant)) \
-        if isinstance(quant, str) else quant
+    if isinstance(quant, str):
+        if quant in MIXED_PRESETS:
+            qcfg = MIXED_PRESETS[quant]
+        else:
+            qcfg = PRESETS[quant]       # loud KeyError on a typoed name
+    else:
+        qcfg = quant
     key = jax.random.PRNGKey(seed)
 
     @partial(jax.jit, static_argnames=("shape_k", "shape_n", "qc"))

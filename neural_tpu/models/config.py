@@ -111,6 +111,15 @@ class ModelConfig:
         else:
             ids = (int(eid),)
         extra = tuple(int(t) for t in (self.extra_eos_ids or ()))
+        # Llama-3 (vocab 128256): <|eot_id|> (128009) always terminates a
+        # chat turn even when the checkpoint lists only <|end_of_text|>.
+        # Applied HERE so every load path agrees — HF, GGUF, and NTPU
+        # checkpoint reload (the round-5 HF-only placement left
+        # GGUF-loaded Llama-3 running past <|eot_id|>). Reference:
+        # neural_speed/__init__.py:423-434 __get_special_eos_id.
+        if self.arch in ("llama", "mistral", "mixtral") \
+                and self.vocab_size == 128256:
+            extra = extra + (128009,)
         extra = tuple(dict.fromkeys(ids[1:] + extra))  # ordered de-dup
         object.__setattr__(self, "extra_eos_ids",
                            tuple(t for t in extra if t != ids[0]))

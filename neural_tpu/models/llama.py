@@ -47,11 +47,9 @@ def config_from_hf(c) -> ModelConfig:
         # ``eos_token_id: [128001, 128009]``); ModelConfig.__post_init__
         # normalizes either into the eos_token_ids stop set.
         eos_token_id=getattr(c, "eos_token_id", 2) or 2,
-        # Llama-3 (vocab 128256): <|eot_id|> (128009) always terminates a
-        # chat turn even when the checkpoint config lists only
-        # <|end_of_text|> — the reference special-cases this
-        # (neural_speed/__init__.py:423-434 __get_special_eos_id).
-        extra_eos_ids=(128009,) if c.vocab_size == 128256 else (),
+        # Llama-3's <|eot_id|> stop id is added by ModelConfig's own
+        # normalization (vocab-128256 llama-family quirk) so GGUF and
+        # checkpoint loads get it too — nothing to do here.
     )
 
 

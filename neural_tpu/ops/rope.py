@@ -55,18 +55,23 @@ def rope_freqs(head_dim: int, rope_dim: Optional[int], theta: float,
             inv = np.where(wavelen < orig / hi_f, inv,         # short: keep
                            (1 - smooth) * inv / factor + smooth * inv)
         elif kind == "dynamic":
-            # NTK-by-parts "dynamic" scaling, evaluated STATICALLY for the
-            # table's serving length: true per-step recompute would change
+            # NTK "dynamic" scaling, evaluated STATICALLY for the table's
+            # serving length: true per-step recompute would change
             # already-cached keys' phases (and retrace under jit), so like
-            # most serving stacks we scale theta once for the worst case
-            # max_seq_len. No-op when the table never exceeds the trained
-            # window.
-            orig = scaling.get("original_max_position_embeddings",
-                               scaling.get("max_position_embeddings", 4096))
+            # most serving stacks we scale theta once for the worst case.
+            # The TRAINED window is max_position_embeddings (HF semantics:
+            # dynamic NTK activates only when the sequence EXCEEDS it), so
+            # with cfg.max_seq_len == the checkpoint's trained length this
+            # is a no-op; it scales only when the caller raises max_seq_len
+            # past the trained window (or the dict carries an explicit
+            # original_max_position_embeddings).
+            orig = (scaling.get("original_max_position_embeddings")
+                    or scaling.get("max_position_embeddings")
+                    or max_seq_len or 4096)
             target = max(max_seq_len or orig, orig)
             factor = scaling.get("factor", 1.0)
             alpha = (factor * target / orig) - (factor - 1)
-            if alpha > 1.0:
+            if target > orig and alpha > 1.0:
                 theta_d = theta * alpha ** (d / max(d - 2, 1))
                 inv = 1.0 / (theta_d **
                              (np.arange(0, d, 2, dtype=np.float64) / d))

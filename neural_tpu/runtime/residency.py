@@ -132,10 +132,9 @@ def should_go_native(params, cfg: ModelConfig, batch: int, S: int,
 def _convert_int2(params, donate: bool):
     """At-rest native-pack conversion for int2 QTensors only (4 codes per
     byte, pltpu.bitcast hardware path)."""
-    from ..core.qtensor import to_native_packed
+    from .generate import _JIT_NPACK, _JIT_NPACK_KEEP
 
-    fn = (jax.jit(to_native_packed, donate_argnums=(0,)) if donate
-          else jax.jit(to_native_packed))
+    fn = _JIT_NPACK if donate else _JIT_NPACK_KEEP
 
     def one(l):
         if isinstance(l, QTensor) and l.cfg.kind == "int" \
@@ -172,6 +171,14 @@ def ensure_decode_residency(params, cfg: ModelConfig, batch: int = 1,
         # 8-layer: mix_i2_ffn in-jit −3.8 us/layer vs q4_j, at-rest
         # +21.5 us/layer). Conversion also HALVES their HBM footprint,
         # so it can only help the policy's budget.
+        if donate:
+            # same loud contract as the native-at-rest branch below: a
+            # caller sharing the packed tree must hear that it is being
+            # consumed (silent invalidation is undebuggable)
+            print("[neural-tpu] residency: converting int2 weights to "
+                  "at-rest native-pack with donation — the packed params "
+                  "tree passed in is consumed (pass donate_params=False "
+                  "to keep sharing it)", file=sys.stderr)
         params = _convert_int2(params, donate)
         qts = _qleaves(params)
     if all(is_native(q) for q in qts):

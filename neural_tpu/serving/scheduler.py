@@ -92,6 +92,24 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
 
 
+def _penalty_hist(rows, B: int, RL: int):
+    """Repetition-penalty history for a batch of rows.
+
+    ``rows``: iterable of (row_index, Sequence, repeat_last_n). Returns
+    right-aligned (hist [B, RL] int32, valid [B, RL] bool) over each
+    sequence's last min(rl, RL) prompt+output tokens — the ONE builder
+    behind _sample_many / _decode_block_step / _decode_sample_step
+    (three hand-rolled copies diverged in round 5's review)."""
+    hist = np.zeros((B, max(RL, 1)), np.int32)
+    valid = np.zeros((B, max(RL, 1)), bool)
+    for r, seq, rl in rows:
+        t = (seq.prompt_ids + seq.output_ids)[-min(rl, RL):] if rl > 0 else []
+        if t:
+            hist[r, -len(t):] = t
+            valid[r, -len(t):] = True
+    return hist, valid
+
+
 @partial(jax.jit, static_argnames=("cfg", "T"), donate_argnums=(2,))
 def _prefill_slot(params, tokens, cache: KVCache, slot, start, plen,
                   cfg: ModelConfig, T: int):
@@ -410,15 +428,40 @@ class Scheduler:
                 return free[i] - W + 1
         return free[0] if W == 1 and free else None
 
+    def _chunk_for(self, T: int) -> Optional[int]:
+        """The prefill chunk a T-token prompt would get (None=single-shot);
+        the T-only core of _seq_chunk, shared with the page math."""
+        chunk = self.prefill_chunk
+        if chunk is None:
+            return None
+        for b in range(0, T, chunk):
+            e = min(b + chunk, T)
+            if b + _bucket(e - b, self.buckets) > self.max_len:
+                return None
+        return chunk
+
+    def _pad_end(self, T: int) -> int:
+        """Furthest padded cache offset a T-token prompt's prefill writes:
+        the last chunk's bucket pad end (== bucket(T) when single-shot).
+        Always <= max_len (_chunk_for falls back to single-shot when a
+        chunk's pad would cross it)."""
+        chunk = self._chunk_for(T)
+        if chunk is None or T == 0:
+            return _bucket(max(T, 1), self.buckets)
+        last_b = ((T - 1) // chunk) * chunk
+        return last_b + _bucket(T - last_b, self.buckets)
+
     def _pages_required(self, T: int, max_new_tokens: int,
                         num_beams: int) -> int:
         """Worst-case page reservation for a request: prompt+max_new or the
-        single-shot bucket pad end, whichever is larger, capped at the
-        per-slot table size, per beam. Shared by add_request's never-fits
-        rejection, _can_admit, and (per-slot) _begin_prefill so the three
-        gates can never disagree."""
+        prefill's furthest PAD offset (chunk-aware — with non-doubling
+        buckets the last chunk's pad can exceed bucket(T)), whichever is
+        larger, capped at the per-slot table size, per beam. Shared by
+        add_request's never-fits rejection, _can_admit, and
+        _begin_prefill so the gates can never disagree (beam prefill is
+        single-shot; its bucket(T) pad is <= this bound)."""
         per_beam = min(pages_needed(max(T + max_new_tokens,
-                                        _bucket(T, self.buckets)),
+                                        self._pad_end(T)),
                                     self.page_size), self.maxp)
         return per_beam * max(num_beams, 1)
 
@@ -530,12 +573,9 @@ class Scheduler:
             if rl <= 0:  # 0 disables penalties (llama.cpp convention)
                 t, st2 = sample(jnp.asarray(logits[idxs]), sub, sp, st)
             else:
-                hist = np.zeros((len(idxs), rl), np.int32)
-                valid = np.zeros((len(idxs), rl), bool)
-                for j, i in enumerate(idxs):
-                    h = (seqs[i].prompt_ids + seqs[i].output_ids)[-rl:]
-                    hist[j, :len(h)] = h
-                    valid[j, :len(h)] = True
+                hist, valid = _penalty_hist(
+                    ((j, seqs[i], rl) for j, i in enumerate(idxs)),
+                    len(idxs), rl)
                 t, st2 = sample(jnp.asarray(logits[idxs]), sub, sp, st,
                                 prev_tokens=jnp.asarray(hist),
                                 prev_valid=jnp.asarray(valid))
@@ -722,15 +762,7 @@ class Scheduler:
         shift the chunk over earlier real keys (and a paged table would
         index past its last page). Single-shot is always safe: bucket(T)
         <= max_len by construction."""
-        chunk = self.prefill_chunk
-        if chunk is None:
-            return None
-        T = len(seq.prompt_ids)
-        for b in range(0, T, chunk):
-            e = min(b + chunk, T)
-            if b + _bucket(e - b, self.buckets) > self.max_len:
-                return None
-        return chunk
+        return self._chunk_for(len(seq.prompt_ids))
 
     def _chunk_bounds(self, seq: Sequence) -> List[Tuple[int, int]]:
         """[(begin, end)) chunk spans for this request's prompt."""
@@ -758,12 +790,10 @@ class Scheduler:
             # OOMs mid-sequence (preemption-free policy). Each bucketed
             # chunk writes pad keys up to its bucket end, so the furthest
             # padded offset must be reserved too (those keys are masked,
-            # but must not alias other slots' pages).
-            last_b, last_e = self._chunk_bounds(seq)[-1]
-            pad_end = last_b + _bucket(last_e - last_b, self.buckets)
-            need = pages_needed(max(T + seq.max_new_tokens, pad_end),
-                                self.page_size)
-            need = min(need, self.maxp)
+            # but must not alias other slots' pages). SAME formula as the
+            # admission gates (_pages_required) — a reservation larger
+            # than admission checked would fire the assert below.
+            need = self._pages_required(T, seq.max_new_tokens, 1)
             pages = self.allocator.alloc(need)
             assert pages is not None, "admission gate guarantees pages"
             self.slot_pages[slot] = pages
@@ -826,13 +856,8 @@ class Scheduler:
             k = 1   # boundary: fall back (keeps compile count at two)
         cfg = pick_decode_blk(self.cfg, int(self.lengths.max()) + k)
         rl = max(sp.repeat_last_n, 0)
-        hist = np.zeros((self.max_batch, max(rl, 1)), np.int32)
-        valid = np.zeros((self.max_batch, max(rl, 1)), bool)
-        if rl > 0:
-            for slot, seq in active:
-                h = (seq.prompt_ids + seq.output_ids)[-rl:]
-                hist[slot, -len(h):] = h
-                valid[slot, -len(h):] = True
+        hist, valid = _penalty_hist(
+            ((slot, seq, rl) for slot, seq in active), self.max_batch, rl)
         self.key, sub = jax.random.split(self.key)
         toks, self.cache = sample_loop(
             self.params, jnp.asarray(self._next_tokens[:, None], jnp.int32),
@@ -943,14 +968,9 @@ class Scheduler:
         if penal:
             rl_max = max(sps[s].repeat_last_n for s in penal)
             RL = -(-rl_max // 64) * 64          # pad → bounded compiles
-            h = np.zeros((B, RL), np.int32)
-            v = np.zeros((B, RL), bool)
-            for s in penal:
-                seq = self.running[s]
-                tail = (seq.prompt_ids + seq.output_ids)[-sps[s].repeat_last_n:]
-                if tail:
-                    h[s, -len(tail):] = tail
-                    v[s, -len(tail):] = True
+            h, v = _penalty_hist(
+                ((s, self.running[s], sps[s].repeat_last_n) for s in penal),
+                B, RL)
             hist, valid = jnp.asarray(h), jnp.asarray(v)
         self.key, sub = jax.random.split(self.key)
         tok, mu, self.cache = _decode_sample_all(

@@ -67,6 +67,35 @@ def test_config_from_hf_llama3_stop_set():
     assert llama.config_from_hf(hf).eos_token_ids == (128001, 128009)
 
 
+def test_eot_stop_set_applies_to_every_load_path():
+    """The <|eot_id|> quirk lives in ModelConfig normalization, so a
+    GGUF-shaped construction (arch + single int eos, no HF loader in the
+    loop) gets the stop set too — the round-5 review caught the quirk
+    living only in llama.config_from_hf."""
+    cfg = ModelConfig(arch="llama", vocab_size=128256, eos_token_id=128001)
+    assert cfg.eos_token_ids == (128001, 128009)
+    # non-llama3 vocabs are untouched
+    assert ModelConfig(arch="llama", vocab_size=32000,
+                       eos_token_id=2).eos_token_ids == (2,)
+
+
+def test_dynamic_ntk_noop_within_trained_window():
+    """HF 'dynamic' semantics: scaling activates only past the trained
+    window (max_position_embeddings); serving AT the trained length must
+    leave the frequencies untouched (round-5 review: a hardcoded 4096
+    default wrongly scaled any model trained beyond 4096)."""
+    base = rope_freqs(16, None, 10000.0)
+    same = rope_freqs(16, None, 10000.0,
+                      {"type": "dynamic", "factor": 2.0},
+                      max_seq_len=8192)      # trained window == serving
+    np.testing.assert_array_equal(base, same)
+    longer = rope_freqs(16, None, 10000.0,
+                        {"type": "dynamic", "factor": 2.0,
+                         "original_max_position_embeddings": 4096},
+                        max_seq_len=8192)    # serving 2x the window
+    assert np.all(longer[1:] < base[1:])     # frequencies compressed
+
+
 def test_truncate_at_eos_any_member():
     cfg = ModelConfig(eos_token_id=[5, 9])
     assert truncate_at_eos([1, 2, 9, 3], cfg) == [1, 2, 9]

@@ -209,3 +209,28 @@ def test_paged_scheduler_matches_sequential():
     exact = sum(got[f"q{i}"] == ref[i] for i in range(12))
     assert exact >= 10, [(i, got[f"q{i}"], ref[i]) for i in range(12)
                          if got[f"q{i}"] != ref[i]]
+
+
+def test_admission_reservation_formula_agrees_with_begin_prefill():
+    """Round-5 review scenario: non-doubling buckets where a chunked
+    prefill's last-chunk pad end EXCEEDS bucket(T). Admission and the
+    actual reservation now share _pages_required, so the request either
+    admits with enough pages or defers — never trips the 'admission gate
+    guarantees pages' assert."""
+    cfg = tiny_cfg(hidden_size=64, head_dim=16, n_kv_heads=4,
+                   intermediate_size=128, max_seq_len=256)
+    from neural_tpu.convert import init_random
+    params = init_random(cfg, dtype=jnp.float32)
+    sched = Scheduler(params, cfg, max_batch=2, max_len=224,
+                      sampling=SamplingParams(greedy=True,
+                                              repeat_penalty=1.0),
+                      prefill_buckets=(64, 130, 200),
+                      prefill_chunk=64,
+                      kv_mode="paged", page_size=32, n_pages=8)
+    # T=130: chunks [0,64),[64,128),[128,130) -> pad_end = 128 + 64 = 192
+    # > bucket(130) = 130; the old admission base (bucket(T)) under-counted
+    assert sched._pad_end(130) > 130
+    sched.add_request("edge", list(range(1, 131)), max_new_tokens=8)
+    done = sched.run_to_completion()
+    assert len(done) == 1 and len(done[0].output_ids) == 8
+    assert sched.allocator.n_free == sched.cache.n_pages - 1

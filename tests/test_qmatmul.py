@@ -300,16 +300,38 @@ def test_a8_stacked_lidx():
              stacked=True)
 
 
-def test_a8_scratch_mode_many_n_tiles():
-    """N/tn > 4 routes through the VMEM code-scratch flavor (codes
-    quantized once at the first N-tile, reused for the rest); must match
-    the same quantize_act_i8 oracle bit-for-bit. N=1280 → tn=256 →
-    5 N-tiles."""
-    from neural_tpu.ops.qmatmul import _pick_a8
+def test_a8_scratch_mode_kernel_flavor():
+    """The VMEM code-scratch a8 flavor (mode="scratch": codes quantized
+    once at the first N-tile into scratch, x DMA elided for j > 0) is a
+    KEPT LAB PATH — dispatch never selects it (measured slower than the
+    external-quantize path on hardware, see qmatmul.py dispatch note) —
+    so drive it explicitly and pin it to the quantize_act_i8 oracle over
+    a multi-N-tile, multi-K-tile grid."""
+    from neural_tpu.ops.qmatmul import (_pick_a8, _qmatmul_a8_pallas,
+                                        matmul_a8_ref, quantize_act_i8)
     cfg = QuantConfig(bits=4, group_size=128, sym=True, act_bits=8)
-    tn = _pick_a8(256, 512, 1280, cfg)[1]
-    assert 1280 // tn > 4, "shape no longer exercises scratch mode"
-    check_a8(cfg, M=256, K=512, N=1280)
+    M, K, N = 256, 512, 1280
+    tm, tn, tk, gd = _pick_a8(M, K, N, cfg)
+    assert N // tn > 4, "shape no longer has multiple N-tiles"
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    qt = quantize(w, cfg)
+    _, sa = quantize_act_i8(x, gd)          # scales still come from XLA
+    out = _qmatmul_a8_pallas(x, sa, qt, tm, tn, tk, gd,
+                             out_dtype=jnp.float32, interpret=True,
+                             mode="scratch")
+    ref = np.asarray(matmul_a8_ref(x, qt, gd, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=1e-3 + 1e-4 * np.abs(ref).max(),
+                               rtol=1e-4)
+
+
+def test_a8_many_n_tiles_external_dispatch():
+    """N/tn > 4 dispatches the external-quantize flavor (the measured
+    fastest there); numerics must match the a8 oracle."""
+    check_a8(QuantConfig(bits=4, group_size=128, sym=True, act_bits=8),
+             M=256, K=512, N=1280)
 
 
 def test_a8_multiblock():
