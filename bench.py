@@ -177,8 +177,15 @@ def bench_prefill(params, cfg, T=1975, S=2048, kv_dtype=None):
     def chain(params, tokens, n):
         def body(i, tok):
             cache = init_cache(cfg, 1, S, kv_dtype)
+            # last-token logits only (forward's logit_positions) — what
+            # the generate prefill actually computes, and what the
+            # reference's model_eval computes (logits for the last
+            # position unless logits_all): skips the dead [T, V] vocab
+            # matmul + 250 MB f32 materialization
             logits, _ = forward(params, tok, start, cache, cfg,
-                                logits_dtype=jnp.bfloat16)
+                                logits_dtype=jnp.bfloat16,
+                                logit_positions=jnp.asarray([T - 1],
+                                                            jnp.int32))
             bump = (logits[0, -1, :1] * 0).astype(jnp.int32)
             return tok.at[0, 0].set(tok[0, 0] + bump[0])
         return jax.lax.fori_loop(0, n, body, tokens)[0, 0]
