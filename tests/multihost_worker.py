@@ -43,13 +43,22 @@ from neural_tpu.runtime.generate import model_step  # noqa: E402
 
 def main():
     coord, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
     init_distributed(coordinator=coord, num_processes=nprocs, process_id=pid)
     assert jax.process_count() == nprocs, jax.process_count()
-    mesh = auto_mesh(tp=jax.local_device_count())   # dp across processes
+    if mode == "tp":
+        # tp spans BOTH processes: the per-layer psums cross the process
+        # boundary — the cross-host tensor-parallel shape of the 70B
+        # BASELINE config (reference: mpirun ranks on separate hosts)
+        mesh = auto_mesh(tp=nprocs * jax.local_device_count())
+    else:
+        mesh = auto_mesh(tp=jax.local_device_count())  # dp across processes
 
+    tp = mesh.shape["tp"]
     cfg = ModelConfig(arch="llama", vocab_size=128, hidden_size=64,
-                      n_layers=2, n_heads=4, n_kv_heads=2, head_dim=16,
-                      intermediate_size=128, max_seq_len=64)
+                      n_layers=2, n_heads=4,
+                      n_kv_heads=2 if tp <= 2 else tp,  # heads % tp == 0
+                      head_dim=16, intermediate_size=128, max_seq_len=64)
     params = init_random(cfg, seed=0, dtype=jnp.float32)  # same on all ranks
 
     B, T, S = nprocs, 5, 32

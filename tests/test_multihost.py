@@ -25,14 +25,14 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_dp_sharded_step():
+def _run_workers(mode: str):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)            # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(pid)],
+        [sys.executable, WORKER, coord, "2", str(pid), mode],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for pid in range(2)]
     outs = []
@@ -51,3 +51,17 @@ def test_two_process_dp_sharded_step():
     assert len(marks) == 2, outs
     # both ranks agree on the reference checksum (same weights, same data)
     assert marks[0].split()[2] == marks[1].split()[2], marks
+
+
+def test_two_process_dp_sharded_step():
+    """dp ACROSS processes, tp within each (the serving layout: only
+    data-parallel traffic crosses the slow network)."""
+    _run_workers("dp")
+
+
+def test_two_process_tp_sharded_step():
+    """tp ACROSS processes: every per-layer psum crosses the process
+    boundary — the cross-host tensor-parallel shape of the 70B BASELINE
+    config (reference: mpirun ranks on separate hosts, docs/
+    tensor_parallelism.md)."""
+    _run_workers("tp")
